@@ -1,0 +1,137 @@
+"""Configuration for the TPU-native RGC-SLAM rebuild.
+
+Mirrors the reference's ROS parameter-server configuration plus the hardcoded
+physical constants surveyed in SURVEY.md §5.6 (``launch/run.launch:4-36``,
+``scanRegistration.cpp:34-40``, ``utility.h:73-74,253-254``), restructured as a
+static (hashable) dataclass so every field is a compile-time constant for jit.
+
+Static shape capacities (MAX_*) replace the reference's dynamically sized PCL
+containers — the price of XLA's static-shape compilation model, and the reason
+the whole pipeline vmaps into a fleet (BASELINE config 5).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    # ---- sensor / projection (ref scanRegistration.cpp:34-40,57-72) ----
+    n_scans: int = 16                     # 16 / 32 / 64 beam
+    scan_period: float = 0.1              # seconds per sweep
+    minimum_range: float = 0.5
+    maximum_range: float = 80.0
+    lidar_height: float = 0.56            # `laderH`, sensor height over ground
+
+    # ---- static shape capacities ----
+    max_points: int = 32768               # padded cloud size (per full scan)
+    max_points_per_ring: int = 2048       # horizontal resolution budget
+    max_imu: int = 64                     # IMU samples per scan interval
+
+    # ---- feature extraction (ref scanRegistration.cpp:233-663) ----
+    n_sectors: int = 6
+    max_sharp_per_sector: int = 20
+    max_flat_per_sector: int = 40
+    max_inten_per_sector: int = 20
+    sharp_curv_thresh: float = 0.1        # cloudCurvature > 0.1
+    sharp_curv2_thresh: float = 0.3       # cloudCurvature2 > 0.3
+    flat_curv_thresh: float = 0.3         # cloudCurvature < 0.3
+    flat_curv2_thresh: float = 0.4        # cloudCurvature2 < 0.4
+    inten_curv_thresh: float = 65.0       # intensityCurvature > 65
+    use_intensity: bool = True
+    intensity_merge_ratio: float = 0.3    # merge inten corners if sharp/plane < 0.3
+
+    # ---- ground segmentation (ref scanRegistration.cpp:34-40,307-431) ----
+    ground_scan_rings: int = 7            # groundScanInd
+    ground_z_max: float = 0.3
+    ground_range_gate: float = 0.8        # base |r - expected| gate
+    ground_planarity_ratio: float = 6.0   # lambda1 > 6*lambda0
+    use_ground: bool = True
+
+    # ---- odometry / VGICP (ref RGC_odometer.cpp:993-1009) ----
+    vgicp_resolution: float = 1.0
+    vgicp_max_iterations: int = 25
+    vgicp_max_corr_dist: float = 2.0
+    source_voxel_size: float = 0.2        # planeResolution1
+    target_voxel_size: float = 0.3        # planeResolution2
+    submap_window: int = 3                # `slipwide`
+    max_source_points: int = 8192         # downsampled source budget
+    max_voxels: int = 16384               # voxel hash capacity (power of 2)
+    hash_probes: int = 16                  # open-addressing probe budget
+    neighbor_search: int = 1              # DIRECT1 / 7 / 27 voxel offsets
+    cov_knn_window: int = 10              # +/- window for scan-local covariances
+
+    # ---- IMU (ref RGC_odometer.cpp:444-716, utility.h:245-269) ----
+    use_imu: bool = True
+    imu_rate_hint: float = 200.0
+    imu_cov_base: float = 0.0004          # DeltaRFactor cov (low rotation)
+    imu_cov_fast: float = 0.0005          # when |d_ypr| > 0.6 deg
+    gravity: float = 9.81
+
+    # ---- keyframes / mapping (ref RGC_mapping.cpp:133,215-245,1843-1862) ----
+    keyframe_dist: float = 0.5            # keyframeAddingDistance
+    keyframe_angle: float = 0.3           # keyframeAddingAngle (rad)
+    surrounding_radius: float = 15.0      # surroundingKeyframeSearchRadius
+    max_keyframes: int = 512
+    max_kf_corner: int = 512              # per-keyframe corner cloud budget
+    max_kf_surf: int = 2048               # per-keyframe surf cloud budget
+    max_map_points: int = 32768           # assembled local map budget
+    map_corner_voxel: float = 0.2         # lineResolution
+    map_surf_voxel: float = 0.4           # planeResolution
+    map_opt_iterations: int = 2           # outer relinearization count
+    map_knn: int = 5                      # 5-NN line/plane fits
+
+    # ---- loop closure / PGO (ref RGC_mapping.cpp:154-160,2006-2466) ----
+    loop_closure_enable: bool = True
+    loop_search_radius: float = 15.0
+    loop_travel_gate: float = 20.0        # travel-distance difference gate
+    loop_submap_halfwidth: int = 25       # +/- keyframes in loop submap
+    loop_icp_iterations: int = 30
+    loop_fitness_thresh: float = 0.1
+    max_loops: int = 64
+    pgo_iterations: int = 10
+    max_loop_submap_points: int = 16384
+
+    # ---- solver ----
+    opt_dtype: str = "float32"
+    rotation_epsilon: float = 2e-3        # LsqRegistration convergence
+    translation_epsilon: float = 5e-4
+    lm_init_lambda_factor: float = 1e-9
+    lm_max_inner: int = 10
+
+    # ---- GNSS (off by default, as in reference run.launch) ----
+    use_gnss: bool = False
+
+    @property
+    def expected_ground_ranges(self) -> Tuple[float, ...]:
+        """Per-ring expected ground range for the configured sensor height.
+
+        Generalizes the hardcoded `Ground_scan_range[16]` table
+        (scanRegistration.cpp:40): ring i of a 16-beam Velodyne points at
+        elevation (-15 + 2*i) degrees; ground hit distance = h / sin(|elev|).
+        """
+        import math
+
+        out = []
+        for i in range(self.ground_scan_rings + 1):
+            elev_deg = -15.0 + 2.0 * i if self.n_scans == 16 else -15.0 + 2.0 * i
+            elev = abs(elev_deg) * math.pi / 180.0
+            out.append(self.lidar_height / max(math.sin(elev), 1e-3))
+        return tuple(out)
+
+
+# A small config for unit tests (tiny capacities, fast compiles).
+TEST_CONFIG = SlamConfig(
+    max_points=4096,
+    max_points_per_ring=256,
+    max_source_points=1024,
+    max_voxels=2048,
+    max_keyframes=64,
+    max_kf_corner=128,
+    max_kf_surf=512,
+    max_map_points=4096,
+    max_loops=8,
+    max_loop_submap_points=2048,
+    vgicp_max_iterations=15,
+)

@@ -1,0 +1,317 @@
+"""Synthetic LiDAR world simulator.
+
+The reference is validated by replaying 4 recorded rosbags (SURVEY §4) that are
+not redistributable; this module provides the equivalent ground-truth-bearing
+data source for unit/e2e tests and benchmarks: an analytic world (ground plane,
+walls, pillars, boxes with per-object reflectivity), a smooth robot trajectory,
+ray-cast 16/32/64-beam Velodyne sweeps, and synthesized IMU streams.
+
+Pure numpy on the host (data generation is I/O-side, not part of the jitted
+engine), mirroring the role of the reference's bag-replay front door.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+DEG = np.pi / 180.0
+
+
+@dataclasses.dataclass
+class World:
+    """Axis-aligned boxes + vertical cylinders + ground plane at z=0."""
+
+    boxes: np.ndarray        # [B, 6] (xmin, ymin, zmin, xmax, ymax, zmax)
+    box_albedo: np.ndarray   # [B]
+    cylinders: np.ndarray    # [C, 4] (cx, cy, radius, height)
+    cyl_albedo: np.ndarray   # [C]
+    ground_albedo: float = 20.0
+
+
+def default_world(seed: int = 0, extent: float = 40.0, n_pillars: int = 14,
+                  n_boxes: int = 10) -> World:
+    """A walled courtyard with pillars and boxes — geometry rich enough for
+    edge/planar/intensity features and unambiguous registration."""
+    rng = np.random.default_rng(seed)
+    e = extent
+    wall_t = 0.4
+    walls = np.array(
+        [
+            [-e, -e, 0.0, e, -e + wall_t, 4.0],
+            [-e, e - wall_t, 0.0, e, e, 4.0],
+            [-e, -e, 0.0, -e + wall_t, e, 4.0],
+            [e - wall_t, -e, 0.0, e, e, 4.0],
+        ]
+    )
+    boxes = []
+    for _ in range(n_boxes):
+        cx, cy = rng.uniform(-e * 0.7, e * 0.7, 2)
+        if abs(cx) < 6 and abs(cy) < 6:
+            cx += 8.0 * np.sign(cx if cx != 0 else 1.0)
+        sx, sy = rng.uniform(0.8, 3.0, 2)
+        h = rng.uniform(0.8, 3.0)
+        boxes.append([cx - sx / 2, cy - sy / 2, 0.0, cx + sx / 2, cy + sy / 2, h])
+    boxes = np.concatenate([walls, np.array(boxes)], axis=0)
+    box_albedo = np.concatenate(
+        [np.array([40.0, 120.0, 40.0, 120.0]), rng.uniform(30, 220, n_boxes)]
+    )
+    cyls = []
+    for _ in range(n_pillars):
+        cx, cy = rng.uniform(-e * 0.8, e * 0.8, 2)
+        if abs(cx) < 5 and abs(cy) < 5:
+            cy += 7.0
+        cyls.append([cx, cy, rng.uniform(0.15, 0.5), rng.uniform(2.0, 4.0)])
+    cylinders = np.array(cyls)
+    cyl_albedo = rng.uniform(30, 230, n_pillars)
+    return World(boxes, box_albedo, cylinders, cyl_albedo)
+
+
+# ---------------------------------------------------------------------------
+# ray casting
+# ---------------------------------------------------------------------------
+
+
+def _ray_ground(origins, dirs):
+    """Intersect rays with z=0 plane.  Returns t (inf if none)."""
+    dz = dirs[:, 2]
+    t = -origins[:, 2] / np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+    return np.where((dz < -1e-6) & (t > 0), t, np.inf)
+
+
+def _ray_boxes(origins, dirs, boxes):
+    """Slab-method ray/AABB.  Returns per-ray (t, box_index)."""
+    n = origins.shape[0]
+    t_best = np.full(n, np.inf)
+    idx_best = np.full(n, -1, np.int32)
+    inv = 1.0 / np.where(np.abs(dirs) < 1e-9, 1e-9, dirs)
+    for b in range(boxes.shape[0]):
+        lo, hi = boxes[b, :3], boxes[b, 3:]
+        t1 = (lo[None, :] - origins) * inv
+        t2 = (hi[None, :] - origins) * inv
+        tmin = np.max(np.minimum(t1, t2), axis=1)
+        tmax = np.min(np.maximum(t1, t2), axis=1)
+        hit = (tmax >= tmin) & (tmax > 0)
+        t = np.where(tmin > 0, tmin, tmax)
+        better = hit & (t < t_best) & (t > 1e-3)
+        t_best = np.where(better, t, t_best)
+        idx_best = np.where(better, b, idx_best)
+    return t_best, idx_best
+
+
+def _ray_cylinders(origins, dirs, cyls):
+    n = origins.shape[0]
+    t_best = np.full(n, np.inf)
+    idx_best = np.full(n, -1, np.int32)
+    for c in range(cyls.shape[0]):
+        cx, cy, r, h = cyls[c]
+        ox = origins[:, 0] - cx
+        oy = origins[:, 1] - cy
+        dx, dy = dirs[:, 0], dirs[:, 1]
+        a = dx * dx + dy * dy
+        b = 2 * (ox * dx + oy * dy)
+        cc = ox * ox + oy * oy - r * r
+        disc = b * b - 4 * a * cc
+        ok = (disc > 0) & (a > 1e-12)
+        sq = np.sqrt(np.maximum(disc, 0.0))
+        t = (-b - sq) / np.where(ok, 2 * a, 1.0)
+        z = origins[:, 2] + t * dirs[:, 2]
+        hit = ok & (t > 1e-3) & (z >= 0) & (z <= h)
+        better = hit & (t < t_best)
+        t_best = np.where(better, t, t_best)
+        idx_best = np.where(better, c, idx_best)
+    return t_best, idx_best
+
+
+def cast_scan(
+    world: World,
+    R: np.ndarray,
+    t: np.ndarray,
+    n_rings: int = 16,
+    n_azimuth: int = 900,
+    max_range: float = 80.0,
+    noise: float = 0.01,
+    rng: Optional[np.random.Generator] = None,
+    per_point_pose: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+):
+    """Ray-cast one sweep from sensor pose (R, t) in world frame.
+
+    Returns dict with sensor-frame xyz [N,3], intensity, ring, rel_time, mask,
+    ordered ring-major (matching the reference's per-ring concatenation,
+    scanRegistration.cpp:221-230).  ``per_point_pose`` optionally provides
+    per-azimuth (R_i, t_i) arrays to simulate intra-scan motion distortion.
+    """
+    rng = rng or np.random.default_rng(0)
+    if n_rings == 16:
+        elev = (-15.0 + 2.0 * np.arange(16)) * DEG
+    elif n_rings == 32:
+        elev = np.linspace(-30.67, 10.67, 32) * DEG
+    else:
+        elev = np.linspace(-24.33, 2.0, 64) * DEG
+
+    az = -2 * np.pi * np.arange(n_azimuth) / n_azimuth  # clockwise like Velodyne
+    rel_time = np.arange(n_azimuth) / n_azimuth  # fraction of scan period
+
+    ring_ids = np.repeat(np.arange(n_rings), n_azimuth)
+    az_all = np.tile(az, n_rings)
+    el_all = np.repeat(elev, n_azimuth)
+    rt_all = np.tile(rel_time, n_rings)
+
+    d_sensor = np.stack(
+        [
+            np.cos(el_all) * np.cos(az_all),
+            np.cos(el_all) * np.sin(az_all),
+            np.sin(el_all),
+        ],
+        axis=1,
+    )
+    if per_point_pose is not None:
+        Rs, ts = per_point_pose  # [n_azimuth, 3, 3], [n_azimuth, 3]
+        az_idx = np.tile(np.arange(n_azimuth), n_rings)
+        Rw = Rs[az_idx]
+        origins = ts[az_idx]
+        d_world = np.einsum("nij,nj->ni", Rw, d_sensor)
+    else:
+        origins = np.broadcast_to(t, d_sensor.shape).copy()
+        d_world = d_sensor @ R.T
+
+    tg = _ray_ground(origins, d_world)
+    tb, bi = _ray_boxes(origins, d_world, world.boxes)
+    tc, ci = _ray_cylinders(origins, d_world, world.cylinders)
+
+    t_hit = np.minimum(np.minimum(tg, tb), tc)
+    which = np.where(
+        t_hit == tg, 0, np.where(t_hit == tb, 1, 2)
+    )
+    valid = np.isfinite(t_hit) & (t_hit < max_range) & (t_hit > 0.3)
+
+    t_noisy = t_hit + rng.normal(0, noise, t_hit.shape)
+    pts_world = origins + d_world * np.where(valid, t_noisy, 1.0)[:, None]
+    if per_point_pose is not None:
+        # report each point in its instantaneous sensor frame (raw Velodyne
+        # behavior — deskewing is the pipeline's job)
+        pts_sensor = np.einsum("nj,nji->ni", pts_world - origins, Rw)
+    else:
+        pts_sensor = (pts_world - t) @ R
+
+    albedo = np.where(
+        which == 0,
+        world.ground_albedo,
+        np.where(
+            which == 1,
+            world.box_albedo[np.clip(bi, 0, None)],
+            world.cyl_albedo[np.clip(ci, 0, None)],
+        ),
+    )
+    # mild range falloff + noise on intensity
+    intensity = albedo / (1.0 + 0.01 * np.where(valid, t_hit, 0.0)) + rng.normal(
+        0, 1.0, albedo.shape
+    )
+
+    return {
+        "xyz": pts_sensor.astype(np.float32),
+        "intensity": np.clip(intensity, 0, 255).astype(np.float32),
+        "ring": ring_ids.astype(np.int32),
+        "rel_time": rt_all.astype(np.float32),
+        "mask": valid,
+    }
+
+
+# ---------------------------------------------------------------------------
+# trajectory + IMU
+# ---------------------------------------------------------------------------
+
+
+def _rot_z(yaw):
+    c, s = np.cos(yaw), np.sin(yaw)
+    return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+
+
+def make_trajectory(
+    n_scans: int,
+    dt: float = 0.1,
+    radius: float = 18.0,
+    speed: float = 1.2,
+    height: float = 0.56,
+    closes_loop: bool = True,
+):
+    """Smooth loop trajectory (returns list of (R, t) world poses at scan times).
+
+    The robot drives a rounded-square circuit; with ``closes_loop`` it returns
+    near its start, exercising the loop-closure stack.
+    """
+    ts = np.arange(n_scans) * dt
+    total = n_scans * dt
+    omega = 2 * np.pi / total if closes_loop else speed / radius
+    poses = []
+    for t in ts:
+        a = omega * t
+        # rounded-square via superellipse-ish parametrization
+        x = radius * np.cos(a)
+        y = radius * np.sin(a) * 0.8
+        dx = -radius * omega * np.sin(a)
+        dy = radius * omega * np.cos(a) * 0.8
+        yaw = np.arctan2(dy, dx)
+        poses.append((_rot_z(yaw), np.array([x, y, height])))
+    return poses
+
+
+def synthesize_imu(poses, dt, imu_rate=200.0, gravity=9.81, seed=3,
+                   acc_noise=0.02, gyr_noise=0.002):
+    """Generate IMU samples between consecutive scan poses.
+
+    Angular velocity from finite-difference of rotations; specific force =
+    R^T (a_world + g z).  Returns per-interval lists of (t, acc[3], gyr[3]).
+    """
+    rng = np.random.default_rng(seed)
+    n = len(poses)
+    m = int(round(imu_rate * dt))
+    out = []
+    for i in range(n):
+        R0, t0 = poses[max(i - 1, 0)]
+        R1, t1 = poses[i]
+        R2, t2 = poses[min(i + 1, n - 1)]
+        # angular velocity (body) from R0->R2 over 2*dt
+        dR = R0.T @ R2
+        angle = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+        if angle < 1e-9:
+            w_body = np.zeros(3)
+        else:
+            axis = (
+                np.array(
+                    [dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0], dR[1, 0] - dR[0, 1]]
+                )
+                / (2 * np.sin(angle))
+            )
+            w_body = axis * angle / (2 * dt)
+        a_world = (t2 - 2 * t1 + t0) / (dt * dt)
+        f_body = R1.T @ (a_world + np.array([0, 0, gravity]))
+        samples_t = (i + np.arange(m) / m) * dt
+        acc = f_body[None, :] + rng.normal(0, acc_noise, (m, 3))
+        gyr = w_body[None, :] + rng.normal(0, gyr_noise, (m, 3))
+        out.append((samples_t, acc.astype(np.float32), gyr.astype(np.float32)))
+    return out
+
+
+def generate_sequence(
+    n_scans: int = 50,
+    n_rings: int = 16,
+    n_azimuth: int = 900,
+    seed: int = 0,
+    dt: float = 0.1,
+    world: Optional[World] = None,
+    closes_loop: bool = True,
+    noise: float = 0.01,
+):
+    """Full synthetic dataset: scans (sensor frame), IMU, ground-truth poses."""
+    world = world or default_world(seed)
+    poses = make_trajectory(n_scans, dt=dt, closes_loop=closes_loop)
+    imu = synthesize_imu(poses, dt)
+    rng = np.random.default_rng(seed + 1)
+    scans = [
+        cast_scan(world, R, t, n_rings=n_rings, n_azimuth=n_azimuth, rng=rng,
+                  noise=noise)
+        for (R, t) in poses
+    ]
+    return {"world": world, "poses": poses, "imu": imu, "scans": scans, "dt": dt}

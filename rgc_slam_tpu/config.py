@@ -41,6 +41,9 @@ class SlamConfig:
     inten_curv_thresh: float = 65.0       # intensityCurvature > 65
     use_intensity: bool = True
     intensity_merge_ratio: float = 0.3    # merge inten corners if sharp/plane < 0.3
+    max_sharp_total: int = 2048           # compacted feature-cloud budgets
+    max_flat_total: int = 4096
+    max_inten_total: int = 2048
 
     # ---- ground segmentation (ref scanRegistration.cpp:34-40,307-431) ----
     ground_scan_rings: int = 7            # groundScanInd
@@ -134,4 +137,7 @@ TEST_CONFIG = SlamConfig(
     max_loops=8,
     max_loop_submap_points=2048,
     vgicp_max_iterations=15,
+    max_sharp_total=512,
+    max_flat_total=1024,
+    max_inten_total=512,
 )

@@ -1,0 +1,399 @@
+"""Feature front-end: the TPU re-expression of the `scanRegistration` node.
+
+Reference behavior rebuilt here (see SURVEY §2.1 A1-A4, §3.1):
+  * A1 range gate + rear-cone cut      (scanRegistration.cpp:107-113,732-763)
+  * A2 ring binning & relative time    (scanRegistration.cpp:115-231)
+  * A3 curvature triple (xyz / range / intensity), incidence-angle smoothing,
+    occlusion masking, per-ring 6-sector greedy pick with neighbor suppression
+                                       (scanRegistration.cpp:233-306,433-663)
+  * A4 ground marking + weighted PCA plane fit
+                                       (scanRegistration.cpp:34-40,307-431)
+
+Design: the whole scan is one flat padded tensor sorted ring-major (valid
+points contiguous per ring).  Window ops are shifted-array sums (VPU friendly);
+the reference's *sequential* greedy pick becomes a fixed number of
+argmax-and-suppress rounds that run all (ring × sector) segments in parallel —
+identical per-sector semantics, only cross-sector suppression ordering differs.
+Everything jits and vmaps (fleet config 5 of BASELINE.json).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import SlamConfig
+from ..types import FeatureCloud, GroundPlane, PointCloud
+
+
+@struct.dataclass
+class FeatureExtraction:
+    """Output of the front-end for one scan."""
+
+    full: PointCloud          # organized (ring-major) cloud
+    sharp: FeatureCloud       # edge features (+ merged intensity corners)
+    flat: FeatureCloud        # planar features
+    inten: FeatureCloud       # intensity-edge features
+    ground: GroundPlane
+    ground_mask: jax.Array    # [N] bool on the organized cloud
+    curvature: jax.Array      # [N] diagnostics
+    normals_cov: jax.Array    # [N, 3, 3] per-point covariance (for VGICP)
+
+
+# ---------------------------------------------------------------------------
+# organization
+# ---------------------------------------------------------------------------
+
+
+def organize(cloud: PointCloud, cfg: SlamConfig) -> tuple[PointCloud, jax.Array, jax.Array]:
+    """Sort points ring-major (ring asc, time asc, invalid last).
+
+    Returns (organized cloud, ring_start [n_scans], ring_count [n_scans]).
+    Replaces the per-ring push_back concatenation at scanRegistration.cpp:221-230.
+    """
+    n = cloud.capacity
+    big = jnp.float32(1e9)
+    key = jnp.where(
+        cloud.mask,
+        cloud.ring.astype(jnp.float32) * 10.0 + cloud.rel_time,
+        big,
+    )
+    order = jnp.argsort(key)
+    out = jax.tree.map(lambda a: a[order], cloud)
+    ring_count = jax.ops.segment_sum(
+        cloud.mask.astype(jnp.int32), jnp.where(cloud.mask, cloud.ring, cfg.n_scans),
+        num_segments=cfg.n_scans + 1,
+    )[: cfg.n_scans]
+    ring_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(ring_count)[:-1]]
+    )
+    return out, ring_start, ring_count
+
+
+def _shift(x: jax.Array, o: int) -> jax.Array:
+    """x[i+o] with zero padding (window validity is masked separately)."""
+    return jnp.roll(x, -o, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# the main front-end
+# ---------------------------------------------------------------------------
+
+
+def extract_features(cloud: PointCloud, cfg: SlamConfig) -> FeatureExtraction:
+    dtype = cloud.xyz.dtype
+    n = cloud.capacity
+
+    # ---- A1: range gate + rear-cone cut ----
+    from ..utils.cloud import range_filter_mask
+
+    mask0 = range_filter_mask(cloud.xyz, cloud.mask, cfg.minimum_range, cfg.maximum_range)
+    cloud = cloud.replace(mask=mask0)
+
+    # ---- A2: ring-major organization ----
+    org, ring_start, ring_count = organize(cloud, cfg)
+    xyz = org.xyz
+    mask = org.mask
+    ring = org.ring
+    inten_raw = org.intensity
+
+    idx = jnp.arange(n)
+    pos_in_ring = idx - ring_start[jnp.clip(ring, 0, cfg.n_scans - 1)]
+    count_of_ring = ring_count[jnp.clip(ring, 0, cfg.n_scans - 1)]
+    # the reference trims 5 points at both ring ends (scanStartInd/EndInd ±5)
+    interior = mask & (pos_in_ring >= 5) & (pos_in_ring < count_of_ring - 5)
+
+    r = jnp.linalg.norm(xyz, axis=-1)
+
+    # ---- incidence angle for near points (scanRegistration.cpp:238-255) ----
+    pa = _shift(xyz, 5)
+    pb = _shift(xyz, -5)
+    pc = 0.5 * (pa + pb)
+    pnorm = jnp.cross(pa - pb, xyz - pc)
+    denom = jnp.linalg.norm(pnorm, axis=-1) * jnp.maximum(r, 1e-6)
+    scan_angle = jnp.abs(jnp.sum(pnorm * xyz, axis=-1) / jnp.maximum(denom, 1e-9))
+    near = (r < 2.0) & interior
+    scan_angle = jnp.where(near, scan_angle, 1.0)
+
+    # ---- intensity smoothing at glancing incidence (cpp:256-268) ----
+    glancing = (scan_angle < 0.07) & near
+    neigh_sum = jnp.zeros_like(inten_raw)
+    for o in range(-5, 6):
+        if o != 0:
+            neigh_sum = neigh_sum + _shift(inten_raw, o)
+    inten = jnp.where(glancing, 0.9 * inten_raw + 0.005 * neigh_sum, inten_raw)
+
+    # ---- curvature triple (cpp:269-306) ----
+    def window_diff(x):
+        s = -10.0 * x
+        for o in range(-5, 6):
+            if o != 0:
+                s = s + _shift(x, o)
+        return s
+
+    diff_xyz = jnp.stack([window_diff(xyz[:, k]) for k in range(3)], axis=-1)
+    diff_i = window_diff(inten)
+    diff_r = window_diff(r)
+
+    dis_factor = jnp.maximum(2.0 / (1.0 + r / 20.0), 0.2)
+    curvature = jnp.sum(diff_xyz * diff_xyz, axis=-1) * dis_factor
+    distance_source = 0.5 + dis_factor
+    inten_curv = jnp.where(glancing, (scan_angle + 0.3) * diff_i, diff_i)
+    other_source = jnp.where(glancing, scan_angle * 10.0 + 0.6, 3.0)
+    curvature2 = jnp.abs(diff_r * dis_factor)
+
+    curvature = jnp.where(interior, curvature, 0.0)
+    curvature2 = jnp.where(interior, curvature2, 0.0)
+    inten_curv = jnp.where(interior, inten_curv, 0.0)
+
+    # ---- ground marking + plane fit (cpp:307-431) ----
+    ground_mask, ground = _fit_ground(xyz, r, ring, mask, pos_in_ring, count_of_ring, cfg, dtype)
+
+    # ---- occlusion / steep-surface mask (cpp:433-456) ----
+    r_next = _shift(r, 1)
+    same_ring_next = (ring == _shift(ring, 1)) & mask & _shift(mask, 1)
+    occl_fwd = (r - r_next > 0.04 * r_next) & same_ring_next   # current occluded soon
+    occl_bwd = (r_next - r > 0.04 * r) & same_ring_next
+    blocked = jnp.zeros((n,), bool)
+    for o in range(0, 6):   # i-5..i marked when forward jump at i
+        blocked = blocked | _shift(occl_fwd, o)
+    for o in range(1, 7):   # i+1..i+6 marked when backward jump at i
+        blocked = blocked | _shift(occl_bwd, -o)
+
+    # ---- neighbor-gap suppression extents (cpp:517-534) ----
+    gap_next = jnp.sum((_shift(xyz, 1) - xyz) ** 2, axis=-1)
+    gap_ok = (gap_next <= 0.05) & same_ring_next
+    # ext_r[i]: how many of i+1.. are suppressed when i is picked (≤5)
+    ext_r = jnp.zeros((n,), jnp.int32)
+    run = jnp.ones((n,), bool)
+    for l in range(1, 6):
+        run = run & _shift(gap_ok, l - 1)
+        ext_r = ext_r + run.astype(jnp.int32)
+    ext_l = jnp.zeros((n,), jnp.int32)
+    run = jnp.ones((n,), bool)
+    for l in range(1, 6):
+        run = run & _shift(gap_ok, -l)
+        ext_l = ext_l + run.astype(jnp.int32)
+
+    # ---- sector segmentation ----
+    # sector = floor(6 * (pos-5) / (count-10)) within the trimmed ring interior
+    interior_len = jnp.maximum(count_of_ring - 10, 1)
+    sector = jnp.clip(
+        (cfg.n_sectors * (pos_in_ring - 5)) // interior_len, 0, cfg.n_sectors - 1
+    )
+    seg_id = jnp.where(
+        interior & (count_of_ring >= 20),
+        ring * cfg.n_sectors + sector,
+        cfg.n_scans * cfg.n_sectors,
+    ).astype(jnp.int32)
+    n_segs = cfg.n_scans * cfg.n_sectors
+
+    # ---- greedy pick: sharp ----
+    sharp_elig = (
+        interior
+        & ~blocked
+        & ~ground_mask
+        & (curvature > cfg.sharp_curv_thresh)
+        & (curvature2 > cfg.sharp_curv2_thresh)
+    )
+    sharp_picked, picked_any = _greedy_pick(
+        curvature, sharp_elig, seg_id, n_segs, cfg.max_sharp_per_sector,
+        ext_l, ext_r, descending=True,
+    )
+
+    # ---- greedy pick: flat (shares the suppression state) ----
+    flat_elig = (
+        interior
+        & ~blocked
+        & ~picked_any
+        & (curvature < cfg.flat_curv_thresh)
+        & (curvature2 < cfg.flat_curv2_thresh)
+    )
+    flat_picked, picked_any2 = _greedy_pick(
+        curvature, flat_elig, seg_id, n_segs, cfg.max_flat_per_sector,
+        ext_l, ext_r, descending=False,
+    )
+
+    # ---- greedy pick: intensity corners (separate suppression array) ----
+    igap = jnp.abs(_shift(inten, 1) - inten)
+    igap_ok = (igap <= 35.0) & same_ring_next
+    iext_r = jnp.zeros((n,), jnp.int32)
+    run = jnp.ones((n,), bool)
+    for l in range(1, 6):
+        run = run & _shift(igap_ok, l - 1)
+        iext_r = iext_r + run.astype(jnp.int32)
+    iext_l = jnp.zeros((n,), jnp.int32)
+    run = jnp.ones((n,), bool)
+    for l in range(1, 6):
+        run = run & _shift(igap_ok, -l)
+        iext_l = iext_l + run.astype(jnp.int32)
+
+    inten_elig = (
+        interior
+        & ~ground_mask
+        & ~sharp_picked
+        & (inten_curv > cfg.inten_curv_thresh)
+    )
+    inten_picked, _ = _greedy_pick(
+        inten_curv, inten_elig, seg_id, n_segs, cfg.max_inten_per_sector,
+        iext_l, iext_r, descending=True,
+    )
+
+    # ---- degraded-geometry fallback (cpp:645-663): merge intensity corners
+    # into the sharp set when sharp/flat ratio is low ----
+    n_sharp = jnp.sum(sharp_picked)
+    n_flat = jnp.maximum(jnp.sum(flat_picked), 1)
+    merge = cfg.use_intensity & (
+        n_sharp.astype(dtype) / n_flat.astype(dtype) < cfg.intensity_merge_ratio
+    )
+    sharp_out_mask = sharp_picked | (merge & inten_picked)
+    sharp_conf = jnp.where(inten_picked & ~sharp_picked, other_source, distance_source + 1.0)
+
+    # ---- compact feature clouds ----
+    sharp = _compact(xyz, org.rel_time, sharp_conf, sharp_out_mask, cfg.max_sharp_total)
+    flat = _compact(xyz, org.rel_time, distance_source, flat_picked, cfg.max_flat_total)
+    intenf = _compact(xyz, org.rel_time, other_source, inten_picked, cfg.max_inten_total)
+
+    # ---- per-point covariances for VGICP (scan-local PCA; see ops/covariance) ----
+    from .covariance import scan_covariances
+
+    covs = scan_covariances(xyz, mask, ring, pos_in_ring, count_of_ring, cfg)
+
+    return FeatureExtraction(
+        full=org,
+        sharp=sharp,
+        flat=flat,
+        inten=intenf,
+        ground=ground,
+        ground_mask=ground_mask,
+        curvature=curvature,
+        normals_cov=covs,
+    )
+
+
+# ---------------------------------------------------------------------------
+# greedy argmax-and-suppress picker
+# ---------------------------------------------------------------------------
+
+
+def _greedy_pick(
+    score: jax.Array,
+    eligible: jax.Array,
+    seg_id: jax.Array,
+    n_segs: int,
+    rounds: int,
+    ext_l: jax.Array,
+    ext_r: jax.Array,
+    descending: bool,
+):
+    """Per-segment greedy pick with ±5 neighbor suppression.
+
+    Each round, every segment picks its best eligible point in parallel, then
+    suppresses that point's gap-connected neighbors (the reference's inner
+    while loops, scanRegistration.cpp:487-583).  Returns (picked mask,
+    picked-or-suppressed mask).
+    """
+    n = score.shape[0]
+    idx = jnp.arange(n)
+    s = score if descending else -score
+
+    def body(_, carry):
+        picked, suppressed = carry
+        ok = eligible & ~picked & ~suppressed
+        val = jnp.where(ok, s, -jnp.inf)
+        seg_best = jax.ops.segment_max(val, seg_id, num_segments=n_segs + 1)
+        best_here = ok & (val == seg_best[seg_id]) & jnp.isfinite(val)
+        # break ties toward the lowest index: keep only segment-argmin index
+        cand_idx = jnp.where(best_here, idx, n)
+        seg_arg = jax.ops.segment_min(cand_idx, seg_id, num_segments=n_segs + 1)
+        pick = best_here & (idx == seg_arg[seg_id])
+        picked = picked | pick
+        # suppression interval [i - ext_l, i + ext_r] via difference array
+        delta = jnp.zeros((n + 1,), jnp.int32)
+        starts = jnp.where(pick, jnp.maximum(idx - ext_l, 0), n)
+        ends = jnp.where(pick, jnp.minimum(idx + ext_r + 1, n), n)
+        delta = delta.at[starts].add(jnp.where(pick, 1, 0))
+        delta = delta.at[ends].add(jnp.where(pick, -1, 0))
+        covered = jnp.cumsum(delta[:-1]) > 0
+        suppressed = suppressed | covered
+        return picked, suppressed
+
+    picked = jnp.zeros((n,), bool)
+    suppressed = jnp.zeros((n,), bool)
+    picked, suppressed = jax.lax.fori_loop(0, rounds, body, (picked, suppressed))
+    return picked, picked | suppressed
+
+
+def _compact(xyz, rel_time, conf, mask, cap: int) -> FeatureCloud:
+    """Gather masked points into a fixed-size FeatureCloud (valid-first)."""
+    order = jnp.argsort(~mask, stable=True)[:cap]
+    m = mask[order]
+    return FeatureCloud(
+        xyz=jnp.where(m[:, None], xyz[order], 0.0),
+        rel_time=jnp.where(m, rel_time[order], 0.0),
+        confidence=jnp.where(m, conf[order], 0.0),
+        mask=m,
+    )
+
+
+# ---------------------------------------------------------------------------
+# ground segmentation + weighted PCA plane (cpp:307-431)
+# ---------------------------------------------------------------------------
+
+
+def _fit_ground(xyz, r, ring, mask, pos_in_ring, count_of_ring, cfg: SlamConfig, dtype):
+    n = xyz.shape[0]
+    expected = jnp.asarray(cfg.expected_ground_ranges, dtype)
+    gsi = cfg.ground_scan_rings
+    in_ground_rings = mask & (ring < gsi) & (pos_in_ring >= 5) & (pos_in_ring < count_of_ring - 5)
+    ring_c = jnp.clip(ring, 0, gsi)
+    gate = cfg.ground_range_gate * (1.0 + ring.astype(dtype) / (gsi - 1))
+    seed = (
+        in_ground_rings
+        & (jnp.abs(r - expected[ring_c]) < gate)
+        & (xyz[:, 2] < cfg.ground_z_max)
+    )
+    # neighbor flood ±5 where range is continuous (cpp:333-348)
+    gmask = jnp.zeros((n,), bool)
+    for o in range(-5, 5):
+        cond = jnp.abs(jnp.roll(r, -o) - r) < (gate / 2.0)
+        gmask = gmask | (jnp.roll(seed & mask, -o) & cond)
+    gmask = (gmask | seed) & mask & (ring < gsi)
+
+    w = jnp.where(gmask, 1.5 - ring.astype(dtype) / (gsi - 1), 0.0)
+    wsum = jnp.maximum(jnp.sum(w), 1e-6)
+    center = jnp.sum(xyz * w[:, None], axis=0) / wsum
+    d = xyz - center
+    cov = jnp.einsum("n,ni,nj->ij", w, d, d) / wsum
+    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    normal = evecs[:, 0]
+    normal = jnp.where(jnp.dot(center, normal) < 0, -normal, normal)
+    planarity_ok = evals[1] > cfg.ground_planarity_ratio * evals[0]
+
+    # robustified distance (cpp:386-413)
+    d_unit = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
+    dw = 1.0 - 100.0 * jnp.abs(d_unit @ normal)
+    dw = jnp.where(dw < 0, 0.1, dw) * jnp.where(gmask, 1.0, 0.0)
+    dwsum = jnp.maximum(jnp.sum(dw), 1e-6)
+    distance = jnp.sum(dw * (xyz @ normal)) / dwsum
+    gsize = jnp.maximum(jnp.sum(gmask.astype(dtype)), 1.0)
+    source1 = dwsum / gsize
+
+    h = cfg.lidar_height
+    ratio = distance / h
+    distance = jnp.where((ratio > 1.1) | (ratio < 0.9), h, distance)
+    distance = jnp.where(source1 < 0.9, 0.9 * h + 0.1 * distance, distance)
+
+    valid = (jnp.sum(gmask) > 0) & planarity_ok
+    ground = GroundPlane(
+        normal=normal.astype(dtype),
+        v1=evecs[:, 1].astype(dtype),
+        v2=evecs[:, 2].astype(dtype),
+        distance=distance.astype(dtype),
+        source=(1.0 - source1).astype(dtype),
+        valid=valid,
+    )
+    return gmask, ground

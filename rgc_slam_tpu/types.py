@@ -25,7 +25,7 @@ class PointCloud:
 
     xyz: jax.Array            # [N, 3] float32
     intensity: jax.Array      # [N] float32 (raw reflectivity)
-    rel_time: jax.Array       # [N] float32, in [0, scan_period]
+    rel_time: jax.Array       # [N] float32, fraction of sweep in [0, 1)
     ring: jax.Array           # [N] int32
     mask: jax.Array           # [N] bool
 

@@ -1,0 +1,291 @@
+"""VGICP scan-to-submap registration — the TPU rebuild of fast_gicp.
+
+Maps reference components (SURVEY §2.3):
+  * G1 ``LsqRegistration`` Levenberg-Marquardt over SE(3)
+    (impl/lsq_registration_impl.hpp:53-172)  ->  ``lm_register`` below, a
+    ``lax.while_loop`` with the same λ-schedule (ρ gain ratio, ν doubling),
+    so3_exp retraction and rot/trans convergence thresholds.
+  * G4 ``FastVGICP`` voxelized correspondences + Mahalanobis D2D cost
+    (impl/fast_vgicp_impl.hpp:73-180)  ->  ``vgicp_linearize``: voxel-hash
+    lookup (DIRECT1), fused per-point residual/Jacobian/H/b computed batched
+    and reduced with a single sum — the XLA analog of the OpenMP/thrust
+    reductions (and of the unbuilt CUDA path G12).
+  * G6-G12 CUDA backend  ->  this whole module *is* that accelerator design,
+    re-expressed for XLA/TPU with static shapes.
+
+Precision note: clouds stay f32; the 6x6 normal equations accumulate in f32
+with residual centering (errors are O(voxel size)), and the tiny 6x6 solve is
+done with an explicit Cholesky in f32 — conditioning is fine because the
+Mahalanobis weights are bounded by the plane-regularized covariances.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import SlamConfig
+from ..types import VoxelMap
+from ..utils import math3d as m3
+from . import voxelhash as vh
+
+
+class RegistrationResult(NamedTuple):
+    q: jax.Array              # [4] final rotation (target <- source)
+    t: jax.Array              # [3] final translation
+    fitness: jax.Array        # [] mean squared correspondence error (masked)
+    n_corr: jax.Array         # [] number of correspondences at the solution
+    iterations: jax.Array     # [] outer LM iterations executed
+    H: jax.Array              # [6, 6] final Hessian (information matrix)
+
+
+# ---------------------------------------------------------------------------
+# linearization
+# ---------------------------------------------------------------------------
+
+
+def _solve6(H: jax.Array, b: jax.Array, damping: jax.Array) -> jax.Array:
+    """Solve (H + damping*I) d = -b via Cholesky with jitter fallback."""
+    A = H + damping * jnp.eye(6, dtype=H.dtype)
+    L = jnp.linalg.cholesky(A + 1e-8 * jnp.eye(6, dtype=H.dtype))
+    ok = jnp.all(jnp.isfinite(L))
+    L = jnp.where(ok, L, jnp.eye(6, dtype=H.dtype))
+    d = jax.scipy.linalg.cho_solve((L, True), -b)
+    return jnp.where(ok, d, jnp.zeros(6, H.dtype))
+
+
+def _inv3_sym(A: jax.Array) -> jax.Array:
+    """Batched symmetric 3x3 inverse via adjugate (VPU-friendly)."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e = A[..., 1, 1], A[..., 1, 2]
+    f = A[..., 2, 2]
+    A11 = d * f - e * e
+    A12 = c * e - b * f
+    A13 = b * e - c * d
+    A22 = a * f - c * c
+    A23 = b * c - a * e
+    A33 = a * d - b * b
+    det = a * A11 + b * A12 + c * A13
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    M = jnp.stack(
+        [
+            jnp.stack([A11, A12, A13], axis=-1),
+            jnp.stack([A12, A22, A23], axis=-1),
+            jnp.stack([A13, A23, A33], axis=-1),
+        ],
+        axis=-2,
+    )
+    return M * inv_det[..., None, None]
+
+
+class Correspondences(NamedTuple):
+    """Frozen correspondence set from one linearization point (the reference
+    freezes ``voxel_correspondences_`` and ``voxel_mahalanobis_`` between
+    ``linearize`` and the LM accept test ``compute_error`` —
+    lsq_registration_impl.hpp:125-172, fast_vgicp_impl.hpp:182-214)."""
+
+    mean_B: jax.Array         # [N, 3]
+    Minv: jax.Array           # [N, 3, 3]
+    w: jax.Array              # [N] sqrt(voxel count), 0 where invalid
+    valid: jax.Array          # [N]
+
+
+def find_correspondences(
+    src: jax.Array,
+    src_cov: jax.Array,
+    src_mask: jax.Array,
+    vm: VoxelMap,
+    q: jax.Array,
+    t: jax.Array,
+    max_corr_dist: float,
+    probes: int = 16,
+) -> Correspondences:
+    """Voxel lookup (DIRECT1) + Mahalanobis precompute at pose (q, t)."""
+    Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
+    slots = vh.voxelmap_lookup(vm, Tp, probes)
+    found = (slots >= 0) & src_mask
+    sl = jnp.clip(slots, 0, vm.mean.shape[0] - 1)
+    mean_B = vm.mean[sl]
+    cov_B = vm.cov[sl]
+    err = mean_B - Tp
+    dist2 = jnp.sum(err * err, axis=-1)
+    valid = found & (dist2 < max_corr_dist * max_corr_dist)
+    w = jnp.where(valid, jnp.sqrt(jnp.maximum(vm.num_points[sl], 1.0)), 0.0)
+    R = m3.quat_to_mat(q)
+    RCA = jnp.einsum("ij,njk,lk->nil", R, src_cov, R)
+    Minv = _inv3_sym(cov_B + RCA)
+    return Correspondences(mean_B=mean_B, Minv=Minv, w=w, valid=valid)
+
+
+def corr_cost(corr: Correspondences, src: jax.Array, q: jax.Array, t: jax.Array):
+    """Cost at (q, t) with frozen correspondences (ref ``compute_error``)."""
+    Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
+    err = corr.mean_B - Tp
+    Me = jnp.einsum("nij,nj->ni", corr.Minv, err)
+    return jnp.sum(corr.w * jnp.sum(err * Me, axis=-1))
+
+
+def corr_linearize(corr: Correspondences, src: jax.Array, q: jax.Array, t: jax.Array):
+    """H/b at (q, t) with frozen correspondences.  J = [skew(Tp) | -I]."""
+    Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
+    err = corr.mean_B - Tp
+    w, Minv = corr.w, corr.Minv
+    Me = jnp.einsum("nij,nj->ni", Minv, err)
+    cost = jnp.sum(w * jnp.sum(err * Me, axis=-1))
+    S = m3.skew(Tp)
+    StM = jnp.einsum("nji,njk->nik", S, Minv)
+    b = jnp.concatenate(
+        [
+            jnp.sum(w[:, None] * jnp.einsum("nik,nk->ni", StM, err), axis=0),
+            jnp.sum(w[:, None] * (-Me), axis=0),
+        ]
+    )
+    H_rr = jnp.einsum("n,nik,nkj->ij", w, StM, S)
+    H_rt = -jnp.sum(w[:, None, None] * StM, axis=0)
+    H_tt = jnp.einsum("n,nij->ij", w, Minv)
+    H = jnp.block([[H_rr, H_rt], [H_rt.T, H_tt]])
+    return H, b, cost
+
+
+def vgicp_linearize(
+    src, src_cov, src_mask, vm, q, t, max_corr_dist, probes: int = 16
+):
+    """Correspondence search + linearization at (q, t).  Returns (H, b, cost,
+    n_corr, corr) with corr reusable for the LM accept test."""
+    corr = find_correspondences(src, src_cov, src_mask, vm, q, t, max_corr_dist, probes)
+    H, b, cost = corr_linearize(corr, src, q, t)
+    return H, b, cost, jnp.sum(corr.valid), corr
+
+
+def vgicp_fitness(src, src_mask, vm, q, t, max_corr_dist, probes: int = 16):
+    """Mean squared euclidean distance over matched points — the analog of
+    ``pcl::Registration::getFitnessScore`` used as confidence ``vgicp_source``
+    (RGC_odometer.cpp:1010)."""
+    Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
+    slots = vh.voxelmap_lookup(vm, Tp, probes)
+    found = (slots >= 0) & src_mask
+    sl = jnp.clip(slots, 0, vm.mean.shape[0] - 1)
+    err = vm.mean[sl] - Tp
+    dist2 = jnp.sum(err * err, axis=-1)
+    valid = found & (dist2 < max_corr_dist * max_corr_dist)
+    n = jnp.sum(valid)
+    return jnp.where(valid, dist2, 0.0).sum() / jnp.maximum(n, 1), n
+
+
+# ---------------------------------------------------------------------------
+# LM driver (G1)
+# ---------------------------------------------------------------------------
+
+
+class _LMState(NamedTuple):
+    q: jax.Array
+    t: jax.Array
+    lm_lambda: jax.Array
+    converged: jax.Array
+    it: jax.Array
+    H: jax.Array
+
+
+def lm_register(
+    src: jax.Array,
+    src_cov: jax.Array,
+    src_mask: jax.Array,
+    vm: VoxelMap,
+    q0: jax.Array,
+    t0: jax.Array,
+    cfg: SlamConfig,
+) -> RegistrationResult:
+    """FastVGICP::align — LM loop with the reference's λ schedule
+    (lsq_registration_impl.hpp:125-172), jit-compiled via lax.while_loop."""
+    dtype = src.dtype
+    max_corr = cfg.vgicp_max_corr_dist
+    probes = cfg.hash_probes
+
+    def is_converged(dq, dt_):
+        # reference compares |R - I| and |t| elementwise against epsilons
+        dR = m3.quat_to_mat(dq) - jnp.eye(3, dtype=dtype)
+        r_ok = jnp.max(jnp.abs(dR)) / cfg.rotation_epsilon
+        t_ok = jnp.max(jnp.abs(dt_)) / cfg.translation_epsilon
+        return jnp.maximum(r_ok, t_ok) < 1.0
+
+    def outer_cond(s: _LMState):
+        return (~s.converged) & (s.it < cfg.vgicp_max_iterations)
+
+    def outer_body(s: _LMState):
+        H, b, y0, _, corr = vgicp_linearize(
+            src, src_cov, src_mask, vm, s.q, s.t, max_corr, probes
+        )
+        lam0 = jnp.where(
+            s.lm_lambda < 0,
+            cfg.lm_init_lambda_factor * jnp.max(jnp.abs(jnp.diag(H))),
+            s.lm_lambda,
+        )
+
+        # inner LM: try/adapt lambda up to lm_max_inner times
+        def inner_body(carry):
+            lam, nu, done, q, t, conv, accepted = carry
+            d = _solve6(H, b, lam)
+            dq = m3.quat_exp(d[:3])
+            dt_ = d[3:]
+            q_new = m3.quat_normalize(m3.quat_mul(dq, s.q))
+            t_new = m3.quat_rotate(dq, s.t) + dt_
+            yi = corr_cost(corr, src, q_new, t_new)
+            denom = jnp.dot(d, lam * d - b)
+            rho = (y0 - yi) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+            accept = rho > 0
+            conv_now = is_converged(dq, dt_)
+            # on reject: inflate lambda; converged-on-reject also terminates
+            lam_next = jnp.where(accept, lam * jnp.maximum(1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3), nu * lam)
+            nu_next = jnp.where(accept, 2.0, 2.0 * nu)
+            q_out = jnp.where(accept, q_new, q)
+            t_out = jnp.where(accept, t_new, t)
+            done_now = accept | conv_now
+            return (
+                lam_next,
+                nu_next,
+                done | done_now,
+                q_out,
+                t_out,
+                conv | (accept & conv_now) | ((~accept) & conv_now),
+                accepted | accept,
+            )
+
+        def inner_cond(carry):
+            lam, nu, done, q, t, conv, accepted = carry
+            return ~done
+
+        init = (lam0, jnp.asarray(2.0, dtype), jnp.asarray(False), s.q, s.t,
+                jnp.asarray(False), jnp.asarray(False))
+        # bounded while: emulate `for i < lm_max_inner` with a counter
+        def bounded_cond(c):
+            (carry, k) = c
+            return inner_cond(carry) & (k < cfg.lm_max_inner)
+
+        def bounded_body(c):
+            (carry, k) = c
+            return (inner_body(carry), k + 1)
+
+        (lam, nu, done, q, t, conv, accepted), _ = jax.lax.while_loop(
+            bounded_cond, bounded_body, (init, 0)
+        )
+        return _LMState(
+            q=q, t=t, lm_lambda=lam, converged=conv | (~accepted), it=s.it + 1, H=H
+        )
+
+    s0 = _LMState(
+        q=q0.astype(dtype),
+        t=t0.astype(dtype),
+        lm_lambda=jnp.asarray(-1.0, dtype),
+        converged=jnp.asarray(False),
+        it=jnp.asarray(0, jnp.int32),
+        H=jnp.zeros((6, 6), dtype),
+    )
+    s = jax.lax.while_loop(outer_cond, outer_body, s0)
+    mean_d2, n_corr = vgicp_fitness(src, src_mask, vm, s.q, s.t, max_corr, probes)
+    # fitness: mean squared euclidean distance of matched points, like
+    # pcl::Registration::getFitnessScore (used as confidence `vgicp_source`)
+    return RegistrationResult(
+        q=s.q, t=s.t, fitness=mean_d2, n_corr=n_corr, iterations=s.it, H=s.H
+    )

@@ -269,9 +269,12 @@ def synthesize_imu(poses, dt, imu_rate=200.0, gravity=9.81, seed=3,
     m = int(round(imu_rate * dt))
     out = []
     for i in range(n):
-        R0, t0 = poses[max(i - 1, 0)]
-        R1, t1 = poses[i]
-        R2, t2 = poses[min(i + 1, n - 1)]
+        # centered finite differences; shift the stencil inward at boundaries
+        # (a degenerate one-sided stencil would fabricate huge accelerations)
+        c = min(max(i, 1), n - 2)
+        R0, t0 = poses[c - 1]
+        R1, t1 = poses[c]
+        R2, t2 = poses[c + 1]
         # angular velocity (body) from R0->R2 over 2*dt
         dR = R0.T @ R2
         angle = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
@@ -294,6 +297,48 @@ def synthesize_imu(poses, dt, imu_rate=200.0, gravity=9.81, seed=3,
     return out
 
 
+def clear_path(world: World, poses, margin: float = 2.0) -> World:
+    """Remove obstacles within ``margin`` of the trajectory (the robot must
+    not drive through geometry)."""
+    path = np.stack([t for (_, t) in poses])[:, :2]
+
+    def box_clear(b):
+        cx = np.clip(path[:, 0], b[0], b[3])
+        cy = np.clip(path[:, 1], b[1], b[4])
+        d = np.hypot(path[:, 0] - cx, path[:, 1] - cy)
+        return d.min() > margin
+
+    def cyl_clear(c):
+        d = np.hypot(path[:, 0] - c[0], path[:, 1] - c[1]) - c[2]
+        return d.min() > margin
+
+    bkeep = np.array([box_clear(b) for b in world.boxes])
+    ckeep = np.array([cyl_clear(c) for c in world.cylinders])
+    return World(
+        boxes=world.boxes[bkeep],
+        box_albedo=world.box_albedo[bkeep],
+        cylinders=world.cylinders[ckeep],
+        cyl_albedo=world.cyl_albedo[ckeep],
+        ground_albedo=world.ground_albedo,
+    )
+
+
+def _slerp_R(R0, R1, f):
+    """Rotation interpolation via axis-angle of the relative rotation."""
+    dR = R0.T @ R1
+    angle = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
+    if angle < 1e-10:
+        return R0
+    axis = np.array(
+        [dR[2, 1] - dR[1, 2], dR[0, 2] - dR[2, 0], dR[1, 0] - dR[0, 1]]
+    ) / (2 * np.sin(angle))
+    K = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    a = angle * f
+    return R0 @ (np.eye(3) + np.sin(a) * K + (1 - np.cos(a)) * K @ K)
+
+
 def generate_sequence(
     n_scans: int = 50,
     n_rings: int = 16,
@@ -303,15 +348,55 @@ def generate_sequence(
     world: Optional[World] = None,
     closes_loop: bool = True,
     noise: float = 0.01,
+    motion_distortion: bool = True,
+    extent: float = 40.0,
+    radius: float = 18.0,
+    speed: float = 1.2,
 ):
-    """Full synthetic dataset: scans (sensor frame), IMU, ground-truth poses."""
-    world = world or default_world(seed)
-    poses = make_trajectory(n_scans, dt=dt, closes_loop=closes_loop)
+    """Full synthetic dataset: scans (sensor frame), IMU, ground-truth poses.
+
+    With ``motion_distortion``, sweep k is ray-cast with per-azimuth poses
+    interpolated between trajectory poses k and k+1 (points reported in their
+    instantaneous sensor frames, like a real spinning Velodyne); its ground
+    truth pose is the END-of-sweep pose k+1 and its stamp (k+1)*dt — matching
+    the reference's deskew-to-scan-end convention.  IMU window k covers the
+    sweep interval.  Yields n_scans-1 usable scans.
+    """
+    poses = make_trajectory(n_scans, dt=dt, closes_loop=closes_loop, radius=radius, speed=speed)
+    world = clear_path(world or default_world(seed, extent=extent), poses)
     imu = synthesize_imu(poses, dt)
     rng = np.random.default_rng(seed + 1)
-    scans = [
-        cast_scan(world, R, t, n_rings=n_rings, n_azimuth=n_azimuth, rng=rng,
-                  noise=noise)
-        for (R, t) in poses
-    ]
-    return {"world": world, "poses": poses, "imu": imu, "scans": scans, "dt": dt}
+    scans, gt_poses, stamps, imu_windows = [], [], [], []
+    if motion_distortion:
+        fr = np.arange(n_azimuth) / n_azimuth
+        for k in range(n_scans - 1):
+            R0, t0 = poses[k]
+            R1, t1 = poses[k + 1]
+            Rs = np.stack([_slerp_R(R0, R1, f) for f in fr])
+            ts = t0[None, :] * (1 - fr[:, None]) + t1[None, :] * fr[:, None]
+            scan = cast_scan(
+                world, R1, t1, n_rings=n_rings, n_azimuth=n_azimuth, rng=rng,
+                noise=noise, per_point_pose=(Rs, ts),
+            )
+            scans.append(scan)
+            gt_poses.append((R1, t1))
+            stamps.append((k + 1) * dt)
+            imu_windows.append(imu[k])
+    else:
+        for k in range(n_scans):
+            R, t = poses[k]
+            scans.append(
+                cast_scan(world, R, t, n_rings=n_rings, n_azimuth=n_azimuth,
+                          rng=rng, noise=noise)
+            )
+            gt_poses.append((R, t))
+            stamps.append(k * dt)
+            imu_windows.append(imu[max(k - 1, 0)])
+    return {
+        "world": world,
+        "poses": gt_poses,
+        "imu": imu_windows,
+        "scans": scans,
+        "stamps": stamps,
+        "dt": dt,
+    }

@@ -1,0 +1,163 @@
+"""Factor library + small Gauss-Newton solver.
+
+TPU rebuild of ``src/lidarFactor.hpp`` (SURVEY §2.2).  Each factor is a pure
+residual function; Jacobians come from ``jax.jacfwd`` over a 6-dim (or 12-dim)
+tangent parameterization — the JAX-native replacement for Ceres autodiff.
+Residual weighting conventions follow the reference exactly (divide by `var`,
+the asymmetric ground weights var/1000 and var*10, the 2*vec(q_err) rotation
+residuals).
+
+Factors implemented (reference locations):
+  * delta_r_residual        — ``DeltaRFactor``       lidarFactor.hpp:132-172
+  * relative_r_residual     — ``RelativeRFactor``    lidarFactor.hpp:174-226
+  * delta_p_residual        — ``DeltaPFactor``       lidarFactor.hpp:228-265
+  * ground_delta_residual   — ``Ground_DeltaFactor`` lidarFactor.hpp:311-350
+  * ground_goable_residual  — ``Ground_DeltaFactor_goable``        :352-403
+  * pitchroll_residual      — ``PitchRollFactor``    lidarFactor.hpp:434-468
+  * edge_residual           — ``LidarEdgeFactor``    lidarFactor.hpp:9-51
+  * plane_norm_residual     — ``LidarPlaneNormFactor``             :91-121
+  * fourdof_residual        — ``FourDOFError``       lidarFactor.hpp:557-595
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..types import GroundPlane
+from ..utils import math3d as m3
+
+
+# ---------------------------------------------------------------------------
+# residuals (all take explicit parameters; quaternions [w,x,y,z])
+# ---------------------------------------------------------------------------
+
+
+def delta_r_residual(q: jax.Array, q_meas: jax.Array, var) -> jax.Array:
+    """2 * vec(q_meas^-1 ⊗ q) / var — absolute rotation prior."""
+    err = m3.quat_mul(m3.quat_conj(q_meas), q)
+    return 2.0 * err[1:4] / var
+
+
+def relative_r_residual(q_i, q_j, q_meas, var) -> jax.Array:
+    """2 * vec(q_meas^-1 ⊗ (q_i^-1 q_j)) / var."""
+    qij = m3.quat_mul(m3.quat_conj(q_i), q_j)
+    err = m3.quat_mul(m3.quat_conj(q_meas), qij)
+    return 2.0 * err[1:4] / var
+
+
+def delta_p_residual(t: jax.Array, t_meas: jax.Array, var) -> jax.Array:
+    return (t - t_meas) / var
+
+
+def ground_delta_residual(
+    q: jax.Array,
+    t: jax.Array,
+    g_last: GroundPlane,
+    g_cur: GroundPlane,
+    q_w_curr_f: jax.Array,
+    var,
+) -> jax.Array:
+    """Plane-coplanarity between consecutive scans (3-dim, asymmetric weights).
+
+    residual[0]: Δ plane distance where the translation's contribution is
+    taken as the world-z component of q_w_curr_f * t (the reference's
+    `delta_t(2,0)` form, lidarFactor.hpp:329-338);
+    residual[1:3]: rotated current normal must stay orthogonal to the last
+    plane's in-plane eigenvectors.
+    """
+    norm_cur = m3.quat_rotate(q, g_cur.normal)
+    delta_t = m3.quat_rotate(q_w_curr_f, t)
+    dist_cur = g_cur.distance + delta_t[2]
+    r0 = (g_last.distance - dist_cur) / (var / 1000.0)
+    r1 = jnp.abs(jnp.dot(g_last.v1, norm_cur)) / (var * 10.0)
+    r2 = jnp.abs(jnp.dot(g_last.v2, norm_cur)) / (var * 10.0)
+    return jnp.stack([r0, r1, r2])
+
+
+def ground_goable_residual(
+    q: jax.Array,
+    t: jax.Array,
+    q_last: jax.Array,
+    t_last: jax.Array,
+    g_last: GroundPlane,
+    g_cur: GroundPlane,
+    q_history: jax.Array,
+    var,
+) -> jax.Array:
+    """Ground_DeltaFactor_goable: same as above but the relative pose comes
+    from two absolute poses (one held fixed) and a historical anchor
+    orientation (lidarFactor.hpp:352-403)."""
+    q_lc = m3.quat_mul(m3.quat_conj(q_last), q)
+    t_lc = m3.quat_rotate(m3.quat_conj(q_last), t - t_last)
+    norm_cur = m3.quat_rotate(q_lc, g_cur.normal)
+    delta_t = m3.quat_rotate(q_history, t_lc)
+    dist_cur = g_cur.distance + delta_t[2]
+    r0 = (g_last.distance - dist_cur) / (var / 1000.0)
+    r1 = jnp.abs(jnp.dot(g_last.v1, norm_cur)) / (var * 10.0)
+    r2 = jnp.abs(jnp.dot(g_last.v2, norm_cur)) / (var * 10.0)
+    return jnp.stack([r0, r1, r2])
+
+
+def pitchroll_residual(q: jax.Array, pitch_meas, roll_meas, var) -> jax.Array:
+    ypr = m3.quat_to_ypr(q)
+    return 2.0 * jnp.stack([ypr[1] - pitch_meas, ypr[2] - roll_meas]) / var
+
+
+def edge_residual(q, t, p, pa, pb, var) -> jax.Array:
+    """Point-to-line: |(Tp-a)×(Tp-b)| / |a-b| per-axis, scaled by confidence."""
+    lp = m3.quat_rotate(q, p) + t
+    nu = jnp.cross(lp - pa, lp - pb)
+    de = jnp.linalg.norm(pa - pb)
+    return nu / jnp.maximum(de, 1e-9) * var
+
+
+def plane_norm_residual(q, t, p, unit_norm, neg_oa_dot_norm, var) -> jax.Array:
+    pw = m3.quat_rotate(q, p) + t
+    return (jnp.dot(unit_norm, pw) + neg_oa_dot_norm) * var
+
+
+def fourdof_residual(yaw_i, t_i, yaw_j, t_j, t_ij_meas, yaw_ij_meas, pitch_i, roll_i):
+    """4-DoF relative pose residual (radians internally; reference works in
+    degrees — conversion handled by the PGO layer)."""
+    R_i = m3.ypr_to_mat(jnp.stack([yaw_i, pitch_i, roll_i]))
+    t_w_ij = t_j - t_i
+    t_i_ij = R_i.T @ t_w_ij
+    r_t = t_i_ij - t_ij_meas
+    r_yaw = m3.wrap_angle(yaw_j - yaw_i - yaw_ij_meas)
+    return jnp.concatenate([r_t, jnp.stack([r_yaw])])
+
+
+# ---------------------------------------------------------------------------
+# Gauss-Newton driver over a tangent-parameterized residual stack
+# ---------------------------------------------------------------------------
+
+
+def gauss_newton(
+    residual_fn: Callable[[jax.Array], jax.Array],
+    dim: int,
+    iterations: int,
+    damping: float = 1e-6,
+    step_clip: float = 1.0,
+):
+    """Iterate x <- x + solve(J^T J, -J^T r) from x=0 via jacfwd.
+
+    ``residual_fn`` must be re-centered by the caller between calls if the
+    linearization point moves; here we solve the full nonlinear problem in the
+    tangent coordinates of the initial point (adequate for the small-angle
+    per-scan problems it serves — mirrors Ceres' 6-iteration DENSE_QR usage,
+    RGC_odometer.cpp:1188-1193).
+    Returns the final tangent step x*.
+    """
+    def body(_, x):
+        r = residual_fn(x)
+        J = jax.jacfwd(residual_fn)(x)
+        H = J.T @ J + damping * jnp.eye(dim, dtype=r.dtype)
+        g = J.T @ r
+        dx = jnp.linalg.solve(H, -g)
+        dx = jnp.clip(dx, -step_clip, step_clip)
+        ok = jnp.all(jnp.isfinite(dx))
+        return x + jnp.where(ok, dx, 0.0)
+
+    return jax.lax.fori_loop(0, iterations, body, jnp.zeros(dim))

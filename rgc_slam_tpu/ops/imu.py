@@ -1,0 +1,263 @@
+"""IMU frontend: median filter, complementary filter, preintegration.
+
+Rebuilds SURVEY §2.1 A5/A6:
+  * running median filters on accelerometer channels (``Mid_Filter``,
+    utility.h:206-243; windows 201/41/41 at RGC_odometer.cpp:39)
+  * complementary attitude filter with adaptive gain and gyro-rate damping
+    (``ComplementaryFilter``, RGC_odometer.cpp:545-716)
+  * quaternion-only preintegration (``IMU_preintegration``,
+    RGC_odometer.cpp:1418-1422) and VINS-style midpoint Δp/Δv/Δq
+    (``IMU_preintegration2`` + ``IntegrationBase``, utility.h:303-380)
+
+All sequential recurrences are ``lax.scan`` over the padded IMU window; the
+filter state is an explicit pytree carried across scans.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..types import ImuBatch
+from ..utils import math3d as m3
+
+MED_WIN = 41          # median window for ay/az (ax uses MED_WIN_X)
+MED_WIN_X = 201
+
+
+@struct.dataclass
+class ImuFilterState:
+    """Persistent complementary-filter + median-filter state."""
+
+    roll: jax.Array           # [] rad
+    pitch: jax.Array          # [] rad
+    yaw: jax.Array            # [] rad
+    count: jax.Array          # [] int32 samples processed
+    last_t: jax.Array         # [] last sample time
+    ba: jax.Array             # [3] accel bias (gravity-aligned init value)
+    bg: jax.Array             # [3] gyro bias
+    bufx: jax.Array           # [MED_WIN_X] ring buffer accx
+    bufy: jax.Array           # [MED_WIN]
+    bufz: jax.Array           # [MED_WIN]
+
+    @classmethod
+    def init(cls, dtype=jnp.float32) -> "ImuFilterState":
+        return cls(
+            roll=jnp.asarray(0.0, dtype),
+            pitch=jnp.asarray(0.0, dtype),
+            yaw=jnp.asarray(0.0, dtype),
+            count=jnp.asarray(0, jnp.int32),
+            last_t=jnp.asarray(-1.0, dtype),
+            ba=jnp.zeros(3, dtype),
+            bg=jnp.zeros(3, dtype),
+            bufx=jnp.zeros(MED_WIN_X, dtype),
+            bufy=jnp.zeros(MED_WIN, dtype),
+            bufz=jnp.zeros(MED_WIN, dtype),
+        )
+
+    def rwi(self) -> jax.Array:
+        """World-from-IMU rotation from the filter attitude."""
+        return m3.ypr_to_mat(jnp.stack([self.yaw, self.pitch, self.roll]))
+
+
+def _median_update(buf: jax.Array, count: jax.Array, x: jax.Array):
+    """Push x into ring buffer, return (new_buf, median over filled part)."""
+    w = buf.shape[0]
+    pos = jnp.mod(count, w)
+    buf = buf.at[pos].set(x)
+    filled = jnp.minimum(count + 1, w)
+    # median over the filled part: mask unfilled slots to +inf, sort, index
+    # (ring overwrite order doesn't matter for a median)
+    idx = jnp.arange(w)
+    masked = jnp.where(idx < filled, buf, jnp.inf)
+    srt = jnp.sort(masked)
+    med = srt[(filled - 1) // 2]
+    return buf, med
+
+
+def _euler_rates_matrix(roll, pitch):
+    """Body rates -> euler-angle rates (ref eulerRates2bodyRates inverse)."""
+    cr, sr = jnp.cos(roll), jnp.sin(roll)
+    cp, sp = jnp.cos(pitch), jnp.sin(pitch)
+    tp = sp / jnp.maximum(cp, 1e-6)
+    return jnp.array(
+        [
+            [1.0, sr * tp, cr * tp],
+            [0.0, cr, -sr],
+            [0.0, sr / jnp.maximum(cp, 1e-6), cr / jnp.maximum(cp, 1e-6)],
+        ]
+    )
+
+
+def complementary_filter_scan(state: ImuFilterState, imu: ImuBatch, gravity: float = 9.81):
+    """Run the complementary filter over one padded IMU window."""
+    rad2deg = 57.29577951308232
+
+    def step(s: ImuFilterState, inp):
+        t, acc, gyr, valid = inp
+        dt = jnp.where(
+            (s.last_t > 0) & (t > s.last_t), t - s.last_t, 0.005
+        )
+        # median filters on acc channels (RGC_odometer.cpp:561-563)
+        bufx, ax = _median_update(s.bufx, s.count, acc[0])
+        bufy, ay = _median_update(s.bufy, s.count, acc[1])
+        bufz, az = _median_update(s.bufz, s.count, acc[2])
+
+        k = jnp.where(s.count < 300, 0.9, 0.002)
+        gx, gy, gz = gyr[0] - s.bg[0], gyr[1] - s.bg[1], gyr[2] - s.bg[2]
+        gz = jnp.where(jnp.abs(gz * rad2deg) < 0.2, 0.0, gz)
+
+        # acceleration gating toward expected gravity direction (cpp:578-596)
+        Rimu = m3.ypr_to_mat(jnp.stack([jnp.zeros_like(s.pitch), s.pitch, s.roll]))
+        acc_exp = Rimu @ jnp.array([0.0, 0.0, gravity])
+        ratio_x = jnp.abs(acc_exp[0]) / jnp.maximum(jnp.abs(ax), 1e-6)
+        ax = jnp.where(
+            (s.count > 300) & (jnp.abs(ax) > 0.3) & (ratio_x < 0.8),
+            ratio_x * ax + (1 - ratio_x) * acc_exp[0],
+            ax,
+        )
+        ratio_y = jnp.abs(acc_exp[1]) / jnp.maximum(jnp.abs(ay), 1e-6)
+        ay = jnp.where(
+            (s.count > 300) & (jnp.abs(ay) > 0.3) & (ratio_y < 0.8),
+            ratio_y * ay + (1 - ratio_y) * acc_exp[1],
+            ay,
+        )
+
+        roll_acc = jnp.arctan2(ay, az)
+        pitch_acc = -jnp.arctan2(ax, az)
+
+        # body rates -> euler rates (cpp:600-605)
+        E = _euler_rates_matrix(s.roll, s.pitch)
+        er = E @ jnp.stack([gx, gy, gz])
+
+        roll = k * roll_acc + (1.0 - k) * (s.roll + er[0] * dt)
+        pitch = k * pitch_acc + (1.0 - k) * (s.pitch + er[1] * dt)
+        yaw = s.yaw + er[2] / 0.9998 * dt
+
+        # damp attitude updates during fast rotation (cpp:612-618)
+        fast = jnp.abs(gz * rad2deg) > 5.0
+        low = 0.005
+        roll = jnp.where(fast, low * roll + (1 - low) * s.roll, roll)
+        pitch = jnp.where(fast, low * pitch + (1 - low) * s.pitch, pitch)
+
+        new = s.replace(
+            roll=jnp.where(valid, m3.wrap_angle(roll), s.roll),
+            pitch=jnp.where(valid, m3.wrap_angle(pitch), s.pitch),
+            yaw=jnp.where(valid, m3.wrap_angle(yaw), s.yaw),
+            count=jnp.where(valid, s.count + 1, s.count),
+            last_t=jnp.where(valid, t, s.last_t),
+            bufx=jnp.where(valid, bufx, s.bufx),
+            bufy=jnp.where(valid, bufy, s.bufy),
+            bufz=jnp.where(valid, bufz, s.bufz),
+        )
+        return new, None
+
+    out, _ = jax.lax.scan(step, state, (imu.t, imu.acc, imu.gyr, imu.mask))
+    return out
+
+
+class Preintegration(NamedTuple):
+    """Δ quantities over one scan interval (body frame of the first sample)."""
+
+    delta_q: jax.Array        # [4]
+    delta_p: jax.Array        # [3]
+    delta_v: jax.Array        # [3]
+    sum_dt: jax.Array         # []
+
+
+def preintegrate(
+    imu: ImuBatch,
+    t0: jax.Array,
+    t1: jax.Array,
+    ba: jax.Array,
+    bg: jax.Array,
+) -> Preintegration:
+    """Quaternion + midpoint Δp/Δv preintegration over [t0, t1].
+
+    Mirrors the per-sample dt bookkeeping of RGC_odometer.cpp:899-928 (first
+    sample measured from t0) and the midpoint rule of ``IMU_preintegration2``.
+    """
+    m = imu.t.shape[0]
+
+    # dt per sample: first = t - t0, else t_i - t_{i-1}
+    prev_t = jnp.concatenate([jnp.array([-1.0], imu.t.dtype), imu.t[:-1]])
+    prev_valid = jnp.concatenate([jnp.array([False]), imu.mask[:-1]])
+    dt = jnp.where(prev_valid, imu.t - prev_t, imu.t - t0)
+    dt = jnp.where(imu.mask, jnp.maximum(dt, 0.0), 0.0)
+
+    prev_acc = jnp.concatenate([imu.acc[:1], imu.acc[:-1]], axis=0)
+    prev_gyr = jnp.concatenate([imu.gyr[:1], imu.gyr[:-1]], axis=0)
+    acc0 = jnp.where(prev_valid[:, None], prev_acc, imu.acc)
+    gyr0 = jnp.where(prev_valid[:, None], prev_gyr, imu.gyr)
+
+    def step(carry, inp):
+        q, p, v, sdt = carry
+        dt_i, a0, a1, g0, g1, valid = inp
+        un_acc_0 = m3.quat_rotate(q, a0 - ba)
+        un_gyr = 0.5 * (g0 + g1) - bg
+        dq = m3.quat_normalize(
+            jnp.concatenate([jnp.ones((1,), q.dtype), un_gyr * dt_i / 2.0])
+        )
+        q_new = m3.quat_normalize(m3.quat_mul(q, dq))
+        un_acc_1 = m3.quat_rotate(q_new, a1 - ba)
+        un_acc = 0.5 * (un_acc_0 + un_acc_1)
+        p_new = p + v * dt_i + 0.5 * un_acc * dt_i * dt_i
+        v_new = v + un_acc * dt_i
+        q_out = jnp.where(valid, q_new, q)
+        p_out = jnp.where(valid, p_new, p)
+        v_out = jnp.where(valid, v_new, v)
+        return (q_out, p_out, v_out, sdt + jnp.where(valid, dt_i, 0.0)), None
+
+    init = (
+        m3.quat_identity(imu.acc.dtype),
+        jnp.zeros(3, imu.acc.dtype),
+        jnp.zeros(3, imu.acc.dtype),
+        jnp.asarray(0.0, imu.acc.dtype),
+    )
+    (q, p, v, sdt), _ = jax.lax.scan(
+        step, init, (dt, acc0, imu.acc, gyr0, imu.gyr, imu.mask)
+    )
+    return Preintegration(delta_q=q, delta_p=p, delta_v=v, sum_dt=sdt)
+
+
+def gravity_init(
+    preint: Preintegration,
+    q_w_curr: jax.Array,
+    t_ij: jax.Array,
+    dt: jax.Array,
+    gravity: float = 9.81,
+):
+    """First-frame gravity-direction initialization (SURVEY A11).
+
+    The reference solves two sequential Ceres problems
+    (RGC_odometer.cpp:1121-1186) whose residuals are *linear* in (g, vi, vj):
+        r_p = t_ij + q (0.5 g dt^2 - vi dt) - Δp
+        r_v = q (vj - vi + g dt) - Δv
+    We solve the same system directly by min-norm least squares around the
+    prior g0 = (0,0,9.81) and renormalize to |g| = 9.81, then return the
+    rotation aligning g to the world +z axis (q_body2world).
+    """
+    dtype = t_ij.dtype
+    R = m3.quat_to_mat(q_w_curr)
+    # unknown x = [g(3), vi(3), vj(3)] ; residuals r = A x - rhs
+    A_p = jnp.concatenate([0.5 * dt * dt * R, -dt * R, jnp.zeros((3, 3), dtype)], axis=1)
+    A_v = jnp.concatenate([dt * R, -R, R], axis=1)
+    A = jnp.concatenate([A_p, A_v], axis=0)
+    rhs = jnp.concatenate([preint.delta_p - t_ij, preint.delta_v])
+    # min-norm solution around prior x0
+    x0 = jnp.concatenate([jnp.array([0.0, 0.0, gravity], dtype), jnp.zeros(6, dtype)])
+    r0 = rhs - A @ x0
+    dx = A.T @ jnp.linalg.solve(A @ A.T + 1e-6 * jnp.eye(6, dtype=dtype), r0)
+    x = x0 + dx
+    g = x[:3]
+    g = gravity * g / jnp.maximum(jnp.linalg.norm(g), 1e-6)
+    # rotation taking g to +z*gravity (RGC_odometer.cpp:1163-1186)
+    g_w = jnp.array([0.0, 0.0, gravity], dtype)
+    axis = jnp.cross(g, g_w)
+    axis_n = jnp.linalg.norm(axis)
+    angle = jnp.arctan2(axis_n, jnp.dot(g, g_w))
+    axis = jnp.where(axis_n < 1e-8, jnp.array([1.0, 0.0, 0.0], dtype), axis / jnp.maximum(axis_n, 1e-8))
+    q_body2world = m3.quat_from_axis_angle(axis, angle)
+    return g, m3.quat_normalize(q_body2world)

@@ -1,0 +1,104 @@
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rgc_slam_tpu.config import TEST_CONFIG
+from rgc_slam_tpu.io import synthetic
+from rgc_slam_tpu.io.convert import cloud_from_scan_dict, imu_from_interval
+from rgc_slam_tpu.models import odometry as odo
+from rgc_slam_tpu.ops import features as F
+from rgc_slam_tpu.ops import imu as imu_ops
+from rgc_slam_tpu.types import ImuBatch
+from rgc_slam_tpu.utils import math3d as m3
+from rgc_slam_tpu.utils.evaluation import ate_rmse
+
+CFG = TEST_CONFIG
+
+
+def test_deskew_roundtrip():
+    """Deskewing a cloud distorted by a known constant-rate motion must
+    recover the end-of-scan geometry."""
+    rng = np.random.default_rng(0)
+    pts_end = rng.uniform(-5, 5, (256, 3)).astype(np.float32)
+    rel_time = rng.uniform(0, 1, 256).astype(np.float32)
+    q_rel = m3.ypr_to_quat(jnp.array([0.1, 0.02, -0.01]))
+    t_rel = jnp.array([0.3, 0.1, 0.0])
+    # forward-distort: point at fraction f was seen from the pose interpolated
+    # at s = 1 - f before scan end: p_seen = slerp(I, q_rel, s)^-1 ... invert
+    # the deskew formula exactly to build the distorted input
+    s = 1.0 - rel_time
+    q_inv = m3.quat_conj(q_rel)
+    qs = m3.quat_slerp(
+        jnp.broadcast_to(m3.quat_identity(), (256, 4)),
+        jnp.broadcast_to(q_inv, (256, 4)),
+        jnp.asarray(s),
+    )
+    # deskew: p_end = qs * (p_seen - s*t); so distort: p_seen = qs^-1 p_end + s t
+    p_seen = m3.quat_rotate(m3.quat_conj(qs), jnp.asarray(pts_end)) + s[:, None] * t_rel[None, :]
+    recovered = odo.deskew_points(p_seen, jnp.asarray(rel_time), q_rel, t_rel)
+    np.testing.assert_allclose(np.asarray(recovered), pts_end, atol=1e-4)
+
+
+def test_preintegration_constant_rotation():
+    """Pure rotation at constant rate: Δq must equal the analytic rotation."""
+    w = np.array([0.0, 0.0, 0.5])  # rad/s yaw
+    m = 20
+    ts = 0.1 + np.arange(m) * 0.005
+    imu = ImuBatch(
+        t=jnp.asarray(ts, jnp.float32),
+        acc=jnp.zeros((m, 3)),
+        gyr=jnp.broadcast_to(jnp.asarray(w, jnp.float32), (m, 3)).astype(jnp.float32),
+        mask=jnp.ones(m, bool),
+    )
+    pre = imu_ops.preintegrate(imu, jnp.asarray(0.1), jnp.asarray(0.2), jnp.zeros(3), jnp.zeros(3))
+    expected_angle = 0.5 * (ts[-1] - 0.1 + 0.005)  # includes first dt from t0
+    got = m3.quat_to_ypr(pre.delta_q)
+    assert abs(float(got[0]) - 0.5 * float(pre.sum_dt)) < 1e-3
+    assert abs(float(pre.sum_dt) - (ts[-1] - 0.1)) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def seq():
+    return synthetic.generate_sequence(
+        n_scans=26, n_azimuth=360, seed=3, extent=18.0, radius=8.0,
+        noise=0.004, motion_distortion=True, closes_loop=False, speed=2.0,
+    )
+
+
+def _run_odometry(seq, cfg):
+    state = odo.OdometryState.init(cfg)
+
+    @jax.jit
+    def step(state, cloud, imu, stamp):
+        fx = F.extract_features(cloud, cfg)
+        return odo.odometry_step(state, fx, imu, stamp, cfg)
+
+    est = []
+    for k, scan in enumerate(seq["scans"]):
+        cloud = cloud_from_scan_dict(scan, cfg)
+        t_imu, acc, gyr = seq["imu"][k]
+        imu = imu_from_interval(t_imu, acc, gyr, cfg.max_imu)
+        state, out = step(state, cloud, imu, jnp.asarray(seq["stamps"][k], jnp.float32))
+        est.append(np.asarray(out.t_w))
+    return np.stack(est), state
+
+
+def test_odometry_tracks_trajectory(seq):
+    est, state = _run_odometry(seq, CFG)
+    gt = np.stack([t for (_, t) in seq["poses"]])
+    ate = ate_rmse(est, gt)
+    # path length for context
+    plen = np.linalg.norm(np.diff(gt, axis=0), axis=1).sum()
+    assert int(state.frame) == len(seq["scans"])
+    assert ate < 0.1, f"odometry ATE {ate:.3f} m over {plen:.1f} m path"
+
+
+def test_odometry_no_imu(seq):
+    cfg = dataclasses.replace(CFG, use_imu=False)
+    est, _ = _run_odometry(seq, cfg)
+    gt = np.stack([t for (_, t) in seq["poses"]])
+    ate = ate_rmse(est, gt)
+    assert ate < 0.2, f"no-IMU odometry ATE {ate:.3f} m"

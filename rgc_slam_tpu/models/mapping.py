@@ -1,0 +1,471 @@
+"""Mapping back-end: the TPU rebuild of the `RGC_mapping` node (A12-A13).
+
+One jit-compiled step (SURVEY §3.3): surrounding-keyframe map assembly →
+two-pose scan-to-map optimization (corner line fits + surf plane fits for the
+current AND previous frames, IMU relative-rotation, absolute pitch/roll and
+ground-plane factors) → map→odom transform update → keyframe gating.
+
+Reference mechanics rebuilt here:
+  * kd-tree 15 m radius keyframe extraction + cached submap assembly
+    (RGC_mapping.cpp:1503-1616)  ->  top-K nearest keyframes by distance
+    matrix, gathered and voxel-downsampled with static caps.
+  * per-point 5-NN line/plane association (RGC_mapping.cpp:1093-1283)  ->
+    batched MXU knn + closed-form 3x3 eigen / normal-equation plane fits.
+  * joint (q,t,q_last,t_last) Ceres solve with Huber(0.1) on lidar factors
+    (RGC_mapping.cpp:1076-1354)  ->  12-dim tangent Gauss-Newton with frozen
+    correspondences per outer iteration (2 outer x 6 inner like the ref).
+  * groundidentify state machine (RGC_mapping.cpp:1723-1809).
+  * saveKeyframeAndOdomFactor gating (RGC_mapping.cpp:1839-1943).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import SlamConfig
+from ..types import GroundPlane
+from ..utils import math3d as m3
+from ..ops import factors as fac
+from ..ops import knn as knn_ops
+from ..ops import voxelhash as vh
+from ..ops.covariance import eigh3x3
+from .odometry import OdometryOutput
+
+HIST_CAP = 64
+RAD2DEG = 57.29577951308232
+K_NEAR = 12               # surrounding keyframes gathered into the local map
+
+
+@struct.dataclass
+class MappingState:
+    # map -> odom correction (RGC_mapping.cpp transformUpdate)
+    q_md: jax.Array           # [4] q_wmap_wodom
+    t_md: jax.Array           # [3]
+
+    # previous mapping results
+    q_w_last: jax.Array
+    t_w_last: jax.Array
+    q_w_last2: jax.Array
+    t_w_last2: jax.Array
+
+    # previous-frame feature clouds (sensor frame, downsampled)
+    last_corner: jax.Array    # [C, 3]
+    last_corner_conf: jax.Array
+    last_corner_mask: jax.Array
+    last_surf: jax.Array      # [S, 3]
+    last_surf_conf: jax.Array
+    last_surf_mask: jax.Array
+
+    # ground machine
+    ground_last: GroundPlane
+    ground_last2: GroundPlane
+    gflag: jax.Array
+    change_count: jax.Array
+    q_w_delta: jax.Array
+    hist_q: jax.Array         # [HIST_CAP, 4]
+    hist_count: jax.Array
+
+    imu_ypr_last: jax.Array   # [3] previous scan's IMU attitude (rad)
+    count: jax.Array          # [] mapping_count
+
+    # keyframe store
+    kf_q: jax.Array           # [K, 4]
+    kf_t: jax.Array           # [K, 3]
+    kf_stamp: jax.Array       # [K]
+    kf_travel: jax.Array      # [K] cumulative travel distance at creation
+    kf_corner: jax.Array      # [K, C, 3] sensor frame
+    kf_corner_conf: jax.Array # [K, C]
+    kf_corner_mask: jax.Array # [K, C]
+    kf_surf: jax.Array        # [K, S, 3]
+    kf_surf_conf: jax.Array   # [K, S]
+    kf_surf_mask: jax.Array   # [K, S]
+    kf_count: jax.Array       # []
+    travel_dist: jax.Array    # [] cumulative distance
+
+    @classmethod
+    def init(cls, cfg: SlamConfig, dtype=jnp.float32) -> "MappingState":
+        K, C, S = cfg.max_keyframes, cfg.max_kf_corner, cfg.max_kf_surf
+        qi = m3.quat_identity(dtype)
+        return cls(
+            q_md=qi, t_md=jnp.zeros(3, dtype),
+            q_w_last=qi, t_w_last=jnp.zeros(3, dtype),
+            q_w_last2=qi, t_w_last2=jnp.zeros(3, dtype),
+            last_corner=jnp.zeros((C, 3), dtype),
+            last_corner_conf=jnp.zeros((C,), dtype),
+            last_corner_mask=jnp.zeros((C,), bool),
+            last_surf=jnp.zeros((S, 3), dtype),
+            last_surf_conf=jnp.zeros((S,), dtype),
+            last_surf_mask=jnp.zeros((S,), bool),
+            ground_last=GroundPlane.default(cfg.lidar_height, dtype),
+            ground_last2=GroundPlane.default(cfg.lidar_height, dtype),
+            gflag=jnp.asarray(0, jnp.int32),
+            change_count=jnp.asarray(0, jnp.int32),
+            q_w_delta=qi,
+            hist_q=jnp.tile(qi, (HIST_CAP, 1)),
+            hist_count=jnp.asarray(0, jnp.int32),
+            imu_ypr_last=jnp.zeros(3, dtype),
+            count=jnp.asarray(0, jnp.int32),
+            kf_q=jnp.tile(qi, (K, 1)),
+            kf_t=jnp.zeros((K, 3), dtype),
+            kf_stamp=jnp.zeros((K,), dtype),
+            kf_travel=jnp.zeros((K,), dtype),
+            kf_corner=jnp.zeros((K, C, 3), dtype),
+            kf_corner_conf=jnp.zeros((K, C), dtype),
+            kf_corner_mask=jnp.zeros((K, C), bool),
+            kf_surf=jnp.zeros((K, S, 3), dtype),
+            kf_surf_conf=jnp.zeros((K, S), dtype),
+            kf_surf_mask=jnp.zeros((K, S), bool),
+            kf_count=jnp.asarray(0, jnp.int32),
+            travel_dist=jnp.asarray(0.0, dtype),
+        )
+
+
+class MappingOutput(NamedTuple):
+    q_w: jax.Array            # mapped world pose
+    t_w: jax.Array
+    q_md: jax.Array           # map->odom correction
+    t_md: jax.Array
+    kf_added: jax.Array       # [] bool
+    n_corner_factors: jax.Array
+    n_surf_factors: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# local map assembly
+# ---------------------------------------------------------------------------
+
+
+def assemble_local_map(state: MappingState, t_center: jax.Array, cfg: SlamConfig):
+    """Top-K nearest keyframes within the search radius -> world-frame corner
+    and surf maps, voxel-downsampled (replaces RGC_mapping.cpp:1503-1616)."""
+    K = state.kf_q.shape[0]
+    kf_valid = jnp.arange(K) < state.kf_count
+    d = jnp.linalg.norm(state.kf_t - t_center[None, :], axis=-1)
+    d = jnp.where(kf_valid, d, jnp.inf)
+    neg, sel = jax.lax.top_k(-d, K_NEAR)
+    sel_ok = (-neg) < cfg.surrounding_radius
+
+    def gather(cloud, conf, mask):
+        # [K_NEAR, P, 3] world-frame
+        q = state.kf_q[sel]
+        t = state.kf_t[sel]
+        pts = m3.quat_rotate(q[:, None, :], cloud[sel]) + t[:, None, :]
+        msk = mask[sel] & sel_ok[:, None]
+        P = pts.shape[1]
+        return (
+            pts.reshape(K_NEAR * P, 3),
+            conf[sel].reshape(K_NEAR * P),
+            msk.reshape(K_NEAR * P),
+        )
+
+    c_pts, c_conf, c_mask = gather(
+        state.kf_corner, state.kf_corner_conf, state.kf_corner_mask
+    )
+    s_pts, s_conf, s_mask = gather(
+        state.kf_surf, state.kf_surf_conf, state.kf_surf_mask
+    )
+    # origin-shift for packable voxel coords, then downsample
+    origin = jnp.floor(t_center)
+    cm_pts, cm_mask, _ = vh.voxel_downsample(
+        c_pts - origin, c_mask, cfg.map_corner_voxel, cfg.max_map_points // 4,
+        probes=cfg.hash_probes,
+    )
+    sm_pts, sm_mask, _ = vh.voxel_downsample(
+        s_pts - origin, s_mask, cfg.map_surf_voxel, cfg.max_map_points,
+        probes=cfg.hash_probes,
+    )
+    return cm_pts + origin, cm_mask, sm_pts + origin, sm_mask
+
+
+# ---------------------------------------------------------------------------
+# correspondence fits (frozen per outer iteration)
+# ---------------------------------------------------------------------------
+
+
+class EdgeCorr(NamedTuple):
+    pa: jax.Array             # [N, 3] line endpoint a (world)
+    pb: jax.Array             # [N, 3]
+    w: jax.Array              # [N] confidence (0 = invalid)
+
+
+class PlaneCorr(NamedTuple):
+    n: jax.Array              # [N, 3] unit normal
+    d: jax.Array              # [N] offset
+    w: jax.Array              # [N]
+
+
+def edge_correspondences(pts_world, conf, mask, map_pts, map_mask, cfg):
+    """5-NN PCA line fit per corner point (RGC_mapping.cpp:1097-1139)."""
+    k = cfg.map_knn
+    d2, idx = knn_ops.knn(pts_world, map_pts, map_mask, k)
+    near = map_pts[idx]                                   # [N, k, 3]
+    center = jnp.mean(near, axis=1)
+    dd = near - center[:, None, :]
+    cov = jnp.einsum("nki,nkj->nij", dd, dd)
+    evals, evecs = eigh3x3(cov)
+    unit = evecs[..., 2]                                  # largest eigvec
+    is_line = evals[..., 2] > 3.0 * evals[..., 1]
+    ok = mask & (d2[:, k - 1] < 1.0) & is_line
+    pa = center + 0.1 * unit
+    pb = center - 0.1 * unit
+    return EdgeCorr(pa=pa, pb=pb, w=jnp.where(ok, conf, 0.0))
+
+
+def plane_correspondences(pts_world, conf, mask, map_pts, map_mask, cfg):
+    """5-NN plane fit solving A n = -1 (RGC_mapping.cpp:1191-1283)."""
+    k = cfg.map_knn
+    d2, idx = knn_ops.knn(pts_world, map_pts, map_mask, k)
+    A = map_pts[idx]                                      # [N, k, 3]
+    AtA = jnp.einsum("nki,nkj->nij", A, A)
+    Atb = -jnp.sum(A, axis=1)
+    from ..ops.registration import _inv3_sym
+
+    n_raw = jnp.einsum("nij,nj->ni", _inv3_sym(AtA + 1e-8 * jnp.eye(3)), Atb)
+    nnorm = jnp.linalg.norm(n_raw, axis=-1)
+    d = 1.0 / jnp.maximum(nnorm, 1e-9)
+    n = n_raw / jnp.maximum(nnorm, 1e-9)[:, None]
+    fit_ok = jnp.all(
+        jnp.abs(jnp.einsum("nki,ni->nk", A, n) + d[:, None]) <= 0.2, axis=1
+    )
+    ok = mask & (d2[:, k - 1] < 2.0) & fit_ok
+    return PlaneCorr(n=n, d=d, w=jnp.where(ok, conf, 0.0))
+
+
+def _huber_weight(r2: jax.Array, delta: float = 0.1) -> jax.Array:
+    """sqrt of Ceres HuberLoss rho'(s): w=1 for |r|<=delta, delta/|r| beyond."""
+    r = jnp.sqrt(jnp.maximum(r2, 1e-12))
+    return jnp.sqrt(jnp.where(r <= delta, 1.0, delta / r))
+
+
+def _edge_residuals(q, t, pts, corr: EdgeCorr):
+    lp = m3.quat_rotate(q[None, :], pts) + t[None, :]
+    nu = jnp.cross(lp - corr.pa, lp - corr.pb)
+    de = jnp.linalg.norm(corr.pa - corr.pb, axis=-1, keepdims=True)
+    r = nu / jnp.maximum(de, 1e-9) * corr.w[:, None]
+    hw = _huber_weight(jnp.sum(r * r, axis=-1))
+    return (r * hw[:, None]).reshape(-1)
+
+
+def _plane_residuals(q, t, pts, corr: PlaneCorr):
+    pw = m3.quat_rotate(q[None, :], pts) + t[None, :]
+    r = (jnp.einsum("ni,ni->n", pw, corr.n) + corr.d) * corr.w
+    hw = _huber_weight(r * r)
+    return r * hw
+
+
+# ---------------------------------------------------------------------------
+# the step
+# ---------------------------------------------------------------------------
+
+
+def mapping_step(
+    state: MappingState,
+    odo: OdometryOutput,
+    corner_xyz: jax.Array,     # [C,3] current DS corner cloud (sensor frame)
+    corner_conf: jax.Array,
+    corner_mask: jax.Array,
+    surf_xyz: jax.Array,       # [S,3]
+    surf_conf: jax.Array,
+    surf_mask: jax.Array,
+    imu_ypr: jax.Array,        # [3] current IMU attitude (rad)
+    stamp: jax.Array,
+    cfg: SlamConfig,
+):
+    dtype = state.t_md.dtype
+    ground_cur = odo.ground
+
+    # ---- initial guess: odom pose lifted by map->odom ----
+    q0 = m3.quat_normalize(m3.quat_mul(state.q_md, odo.q_w))
+    t0 = state.t_md + m3.quat_rotate(state.q_md, odo.t_w)
+
+    # ---- groundidentify (mapping-side machine) ----
+    early = state.count <= 20
+    push_early = early
+    q_lc = m3.quat_mul(m3.quat_conj(state.q_w_last), q0)
+    t_lc = m3.quat_rotate(m3.quat_conj(state.q_w_last), t0 - state.t_w_last)
+    gnorm_c = m3.quat_rotate(q_lc, ground_cur.normal)
+    gdist_c = ground_cur.distance + jnp.dot(gnorm_c, t_lc)
+    gerr1 = jnp.linalg.norm(
+        state.ground_last.distance * state.ground_last.normal - gdist_c * gnorm_c
+    )
+    gerr2 = jnp.abs(jnp.dot(state.ground_last.v1, gnorm_c))
+    d_ypr_deg = m3.mat_to_ypr(m3.quat_to_mat(odo.delta_q_imu)) * RAD2DEG
+    change = (~early) & (gerr1 >= 0.02) & (gerr2 >= 0.02) & (jnp.abs(d_ypr_deg[1]) > 0.5)
+    gflag = jnp.where(change, 1, state.gflag)
+    ccount = jnp.where(change, 0, state.change_count)
+    ccount = jnp.where(gflag == 1, ccount + 1, ccount)
+    resolve = (gflag == 1) & (ccount >= 25)
+    now_ypr = m3.mat_to_ypr(m3.quat_to_mat(q0)) * RAD2DEG
+    hist_ypr = m3.mat_to_ypr(m3.quat_to_mat(state.hist_q)) * RAD2DEG
+    hvalid = jnp.arange(HIST_CAP) < state.hist_count
+    pr = jnp.sqrt((hist_ypr[:, 1] - now_ypr[1]) ** 2 + (hist_ypr[:, 2] - now_ypr[2]) ** 2)
+    pr = jnp.where(hvalid, pr, jnp.inf)
+    bi = jnp.argmin(pr)
+    found = pr[bi] < 6.0
+    q_w_delta = jnp.where(resolve, jnp.where(found, state.hist_q[bi], q0), state.q_w_delta)
+    push = push_early | (resolve & ~found)
+    hist_q = jnp.where(
+        push,
+        state.hist_q.at[jnp.mod(state.hist_count, HIST_CAP)].set(
+            jnp.where(early, state.q_w_last, q0)
+        ),
+        state.hist_q,
+    )
+    hist_count = jnp.where(push, state.hist_count + 1, state.hist_count)
+    gflag = jnp.where(resolve, 0, gflag)
+    q_w_curr_f = m3.quat_normalize(m3.quat_mul(m3.quat_conj(q_w_delta), state.q_w_last))
+    q_w_curr_f2 = m3.quat_normalize(m3.quat_mul(m3.quat_conj(q_w_delta), state.q_w_last2))
+
+    # ---- local map ----
+    cm_pts, cm_mask, sm_pts, sm_mask = assemble_local_map(state, t0, cfg)
+
+    n_corner = jnp.sum(corner_mask)
+    n_surf = jnp.sum(surf_mask)
+    n_cm = jnp.sum(cm_mask)
+    n_sm = jnp.sum(sm_mask)
+    do_opt = (
+        (n_corner > 10) & (n_surf > 50) & (n_cm > 10) & (n_sm > 50)
+    )
+
+    # ---- IMU factor covariances (RGC_mapping.cpp:1285-1311) ----
+    imu_cov = jnp.where(jnp.linalg.norm(d_ypr_deg) > 0.6, 0.004, 0.4)
+    w_imu = jnp.asarray(1.0 if cfg.use_imu else 0.0, dtype)
+    ground_on = (
+        cfg.use_ground & (gflag == 0) & (state.count > 20)
+        & ground_cur.valid & state.ground_last.valid
+    )
+    w_ground = jnp.where(ground_on, 1.0, 0.0).astype(dtype)
+
+    # ---- two outer iterations: freeze correspondences, 6 GN steps ----
+    def outer(carry, _):
+        q, t, ql, tl = carry
+        pw_c = m3.quat_rotate(q[None, :], corner_xyz) + t[None, :]
+        pw_cl = m3.quat_rotate(ql[None, :], state.last_corner) + tl[None, :]
+        pw_s = m3.quat_rotate(q[None, :], surf_xyz) + t[None, :]
+        pw_sl = m3.quat_rotate(ql[None, :], state.last_surf) + tl[None, :]
+
+        ec = edge_correspondences(pw_c, corner_conf, corner_mask, cm_pts, cm_mask, cfg)
+        ecl = edge_correspondences(
+            pw_cl, state.last_corner_conf, state.last_corner_mask, cm_pts, cm_mask, cfg
+        )
+        pc = plane_correspondences(pw_s, surf_conf, surf_mask, sm_pts, sm_mask, cfg)
+        pcl = plane_correspondences(
+            pw_sl, state.last_surf_conf, state.last_surf_mask, sm_pts, sm_mask, cfg
+        )
+
+        def residuals(delta):
+            qc = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[0:3]), q))
+            tc = t + delta[3:6]
+            qlc = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[6:9]), ql))
+            tlc = tl + delta[9:12]
+            r = [
+                _edge_residuals(qc, tc, corner_xyz, ec),
+                _edge_residuals(qlc, tlc, state.last_corner, ecl),
+                _plane_residuals(qc, tc, surf_xyz, pc),
+                _plane_residuals(qlc, tlc, state.last_surf, pcl),
+                fac.relative_r_residual(qlc, qc, odo.delta_q_imu, imu_cov) * w_imu,
+                fac.pitchroll_residual(qc, imu_ypr[1], imu_ypr[2], 0.02) * w_imu,
+                fac.pitchroll_residual(qlc, state.imu_ypr_last[1], state.imu_ypr_last[2], 0.02) * w_imu,
+                fac.ground_goable_residual(
+                    qc, tc, state.q_w_last, state.t_w_last,
+                    state.ground_last, ground_cur, q_w_curr_f, 0.2,
+                ) * w_ground,
+                fac.ground_goable_residual(
+                    qlc, tlc, state.q_w_last2, state.t_w_last2,
+                    state.ground_last2, state.ground_last, q_w_curr_f2, 0.2,
+                ) * w_ground,
+            ]
+            return jnp.concatenate(r)
+
+        delta = fac.gauss_newton(residuals, 12, iterations=6)
+        q = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[0:3]), q))
+        t = t + delta[3:6]
+        ql = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[6:9]), ql))
+        tl = tl + delta[9:12]
+        n_edge = jnp.sum(ec.w > 0)
+        n_plane = jnp.sum(pc.w > 0)
+        return (q, t, ql, tl), (n_edge, n_plane)
+
+    (q_opt, t_opt, _, _), (ne, np_) = jax.lax.scan(
+        outer, (q0, t0, state.q_w_last, state.t_w_last), None,
+        length=cfg.map_opt_iterations,
+    )
+    q_w = jnp.where(do_opt, q_opt, q0)
+    t_w = jnp.where(do_opt, t_opt, t0)
+
+    # ---- transformUpdate (map -> odom) ----
+    q_md = m3.quat_normalize(m3.quat_mul(q_w, m3.quat_conj(odo.q_w)))
+    t_md = t_w - m3.quat_rotate(q_md, odo.t_w)
+
+    # ---- keyframe gating (RGC_mapping.cpp:1843-1862) ----
+    K = state.kf_q.shape[0]
+    has_kf = state.kf_count > 0
+    li = jnp.clip(state.kf_count - 1, 0, K - 1)
+    d_pos = jnp.linalg.norm(t_w - state.kf_t[li])
+    ypr_l = m3.mat_to_ypr(m3.quat_to_mat(state.kf_q[li]))
+    ypr_c = m3.mat_to_ypr(m3.quat_to_mat(q_w))
+    d_ang = jnp.max(jnp.abs(m3.wrap_angle(ypr_l - ypr_c)))
+    add_kf = (~has_kf) | (d_pos > cfg.keyframe_dist) | (d_ang > cfg.keyframe_angle)
+    add_kf = add_kf & (state.kf_count < K)
+
+    wi = jnp.clip(state.kf_count, 0, K - 1)
+    C, S = cfg.max_kf_corner, cfg.max_kf_surf
+    new_travel = state.travel_dist + jnp.where(has_kf, d_pos, 0.0)
+
+    def set_kf(s: MappingState) -> MappingState:
+        return s.replace(
+            kf_q=s.kf_q.at[wi].set(q_w),
+            kf_t=s.kf_t.at[wi].set(t_w),
+            kf_stamp=s.kf_stamp.at[wi].set(stamp.astype(dtype)),
+            kf_travel=s.kf_travel.at[wi].set(new_travel),
+            kf_corner=s.kf_corner.at[wi].set(corner_xyz[:C]),
+            kf_corner_conf=s.kf_corner_conf.at[wi].set(corner_conf[:C]),
+            kf_corner_mask=s.kf_corner_mask.at[wi].set(corner_mask[:C]),
+            kf_surf=s.kf_surf.at[wi].set(surf_xyz[:S]),
+            kf_surf_conf=s.kf_surf_conf.at[wi].set(surf_conf[:S]),
+            kf_surf_mask=s.kf_surf_mask.at[wi].set(surf_mask[:S]),
+            kf_count=s.kf_count + 1,
+        )
+
+    state_kf = set_kf(state)
+    state = jax.tree.map(lambda a, b: jnp.where(add_kf, b, a), state, state_kf)
+
+    # ---- shift "last" frame state ----
+    state = state.replace(
+        q_md=q_md,
+        t_md=t_md,
+        q_w_last2=state.q_w_last,
+        t_w_last2=state.t_w_last,
+        q_w_last=q_w,
+        t_w_last=t_w,
+        last_corner=corner_xyz,
+        last_corner_conf=corner_conf,
+        last_corner_mask=corner_mask,
+        last_surf=surf_xyz,
+        last_surf_conf=surf_conf,
+        last_surf_mask=surf_mask,
+        ground_last2=state.ground_last,
+        ground_last=ground_cur,
+        gflag=jnp.asarray(gflag, jnp.int32),
+        change_count=jnp.asarray(ccount, jnp.int32),
+        q_w_delta=q_w_delta,
+        hist_q=hist_q,
+        hist_count=hist_count,
+        imu_ypr_last=imu_ypr,
+        count=state.count + 1,
+        travel_dist=jnp.where(add_kf, new_travel, state.travel_dist),
+    )
+
+    out = MappingOutput(
+        q_w=q_w,
+        t_w=t_w,
+        q_md=q_md,
+        t_md=t_md,
+        kf_added=add_kf,
+        n_corner_factors=ne[-1],
+        n_surf_factors=np_[-1],
+    )
+    return state, out

@@ -1,0 +1,140 @@
+"""The full SLAM engine: one pure scan->pose step function + host driver.
+
+This is BASELINE.json's north star: the reference's three ROS processes
+(scanRegistration → RGC_odometer → RGC_mapping, SURVEY §1) collapse into a
+single jit-compiled ``slam_step(state, scan) -> (state, outputs)`` over an
+explicit state pytree.  Loop closure + 4-DoF PGO run as a separately jitted
+function at its own cadence (models/loop.py), mirroring the reference's 1 Hz
+pose-graph thread.
+
+``SlamSystem`` is the host-side driver: it owns the device state, feeds scans,
+triggers the loop-closure cadence, and dumps TUM trajectories — the same role
+as roslaunch + bag replay + the trajectory writers (SURVEY §4).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import SlamConfig
+from ..types import ImuBatch, PointCloud
+from ..utils import math3d as m3
+from ..ops import features as F
+from ..ops import voxelhash as vh
+from . import mapping as mapping_mod
+from . import odometry as odometry_mod
+
+
+@struct.dataclass
+class SlamState:
+    odo: odometry_mod.OdometryState
+    mapping: mapping_mod.MappingState
+
+    @classmethod
+    def init(cls, cfg: SlamConfig, dtype=jnp.float32) -> "SlamState":
+        return cls(
+            odo=odometry_mod.OdometryState.init(cfg, dtype),
+            mapping=mapping_mod.MappingState.init(cfg, dtype),
+        )
+
+
+class SlamOutput(NamedTuple):
+    q_odom: jax.Array
+    t_odom: jax.Array
+    q_map: jax.Array
+    t_map: jax.Array
+    fitness: jax.Array
+    n_corr: jax.Array
+    kf_added: jax.Array
+
+
+def slam_step(
+    state: SlamState,
+    cloud: PointCloud,
+    imu: ImuBatch,
+    stamp: jax.Array,
+    cfg: SlamConfig,
+):
+    """features -> odometry -> mapping, one scan."""
+    fx = F.extract_features(cloud, cfg)
+    odo_state, odo_out = odometry_mod.odometry_step(state.odo, fx, imu, stamp, cfg)
+
+    # current-frame feature clouds for mapping (downsampleCurrentLaserCloud,
+    # RGC_mapping.cpp:1688-1714): corner at lineResolution, surf at
+    # planeResolution, confidences carried through the voxel average
+    c_xyz, c_mask, (c_conf,) = vh.voxel_downsample(
+        odo_out.deskewed_sharp_xyz, fx.sharp.mask, cfg.map_corner_voxel,
+        cfg.max_kf_corner, extras=(fx.sharp.confidence,), probes=cfg.hash_probes,
+    )
+    s_xyz, s_mask, (s_conf,) = vh.voxel_downsample(
+        odo_out.deskewed_flat_xyz, fx.flat.mask, cfg.map_surf_voxel,
+        cfg.max_kf_surf, extras=(fx.flat.confidence,), probes=cfg.hash_probes,
+    )
+
+    imu_ypr = jnp.stack(
+        [odo_state.imu_filter.yaw, odo_state.imu_filter.pitch, odo_state.imu_filter.roll]
+    )
+    map_state, map_out = mapping_mod.mapping_step(
+        state.mapping, odo_out, c_xyz, c_conf, c_mask, s_xyz, s_conf, s_mask,
+        imu_ypr, stamp, cfg,
+    )
+
+    out = SlamOutput(
+        q_odom=odo_out.q_w,
+        t_odom=odo_out.t_w,
+        q_map=map_out.q_w,
+        t_map=map_out.t_w,
+        fitness=odo_out.fitness,
+        n_corr=odo_out.n_corr,
+        kf_added=map_out.kf_added,
+    )
+    return SlamState(odo=odo_state, mapping=map_state), out
+
+
+class SlamSystem:
+    """Host driver around the jitted step (and loop closure, once enabled)."""
+
+    def __init__(self, cfg: SlamConfig, enable_loop: Optional[bool] = None):
+        self.cfg = cfg
+        self.state = SlamState.init(cfg)
+        self._step = jax.jit(functools.partial(slam_step, cfg=cfg))
+        self.enable_loop = cfg.loop_closure_enable if enable_loop is None else enable_loop
+        self._loop_fn = None
+        if self.enable_loop:
+            from . import loop as loop_mod
+
+            self.loop_state = loop_mod.LoopState.init(cfg)
+            self._loop_fn = jax.jit(functools.partial(loop_mod.loop_closure_step, cfg=cfg))
+        self.trajectory = []      # (stamp, q_map, t_map)
+        self.odom_trajectory = []
+        self._frame = 0
+
+    def process(self, cloud: PointCloud, imu: ImuBatch, stamp: float):
+        self.state, out = self._step(
+            self.state, cloud, imu, jnp.asarray(stamp, jnp.float32)
+        )
+        self._frame += 1
+        self.trajectory.append((stamp, np.asarray(out.q_map), np.asarray(out.t_map)))
+        self.odom_trajectory.append((stamp, np.asarray(out.q_odom), np.asarray(out.t_odom)))
+        # reference runs PGO at 1 Hz (RGC_mapping.cpp:1964) — every 10 scans
+        if self._loop_fn is not None and self._frame % 10 == 0:
+            self.state, self.loop_state, _ = self._loop_fn(
+                self.state, self.loop_state
+            )
+        return out
+
+    def dump_tum(self, path: str, which: str = "map"):
+        from ..utils.evaluation import dump_tum
+
+        traj = self.trajectory if which == "map" else self.odom_trajectory
+        dump_tum(
+            path,
+            [s for s, _, _ in traj],
+            [t for _, _, t in traj],
+            [q for _, q, _ in traj],
+        )

@@ -235,6 +235,7 @@ def make_trajectory(
     speed: float = 1.2,
     height: float = 0.56,
     closes_loop: bool = True,
+    laps: float = 1.0,
 ):
     """Smooth loop trajectory (returns list of (R, t) world poses at scan times).
 
@@ -243,7 +244,7 @@ def make_trajectory(
     """
     ts = np.arange(n_scans) * dt
     total = n_scans * dt
-    omega = 2 * np.pi / total if closes_loop else speed / radius
+    omega = 2 * np.pi * laps / total if closes_loop else speed / radius
     poses = []
     for t in ts:
         a = omega * t
@@ -352,6 +353,7 @@ def generate_sequence(
     extent: float = 40.0,
     radius: float = 18.0,
     speed: float = 1.2,
+    laps: float = 1.0,
 ):
     """Full synthetic dataset: scans (sensor frame), IMU, ground-truth poses.
 
@@ -362,7 +364,7 @@ def generate_sequence(
     the reference's deskew-to-scan-end convention.  IMU window k covers the
     sweep interval.  Yields n_scans-1 usable scans.
     """
-    poses = make_trajectory(n_scans, dt=dt, closes_loop=closes_loop, radius=radius, speed=speed)
+    poses = make_trajectory(n_scans, dt=dt, closes_loop=closes_loop, radius=radius, speed=speed, laps=laps)
     world = clear_path(world or default_world(seed, extent=extent), poses)
     imu = synthesize_imu(poses, dt)
     rng = np.random.default_rng(seed + 1)

@@ -1,0 +1,379 @@
+"""Loop closure + 4-DoF pose-graph optimization (SURVEY A14/A15, §3.4).
+
+Reference mechanics rebuilt:
+  * drift-adaptive candidate search — radius 15 + (travel-DistanceByLoop)*0.02,
+    travel-distance separation gate, keyID>=10 (RGC_mapping.cpp:2141-2225)
+  * current-keyframe vs ±N-keyframe-submap ICP, accept fitness < 0.1
+    (RGC_mapping.cpp:2050-2081) — point-to-point ICP with batched 1-NN (MXU)
+    and closed-form Kabsch/Umeyama updates instead of pcl::ICP
+  * low-drift state machine: >4 consecutive loops within 10 m -> rate-limit
+    loops to every 5 m; reset when 20 m passes without one
+    (RGC_mapping.cpp:2024-2036,2125-2138)
+  * 4-DoF PGO: per-keyframe (yaw, t), sequential-odometry FourDOF chain + loop
+    factors, oldest loop keyframe pinned, solved by matrix-free Gauss-Newton/CG
+    (RGC_mapping.cpp:2302-2466); corrected poses + drift pushed back into the
+    mapping state (correctKeyFramePoseGraph, RGC_mapping.cpp:1618-1686).
+
+Everything is one jit-compiled function gated by traced booleans — the
+reference's separate 1 Hz thread becomes a host-cadenced call (SlamSystem).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..config import SlamConfig
+from ..utils import math3d as m3
+from ..ops import factors as fac
+from ..ops import knn as knn_ops
+from ..ops import voxelhash as vh
+from .mapping import MappingState
+from .slam import SlamState
+
+DRIFT_FACTOR = 0.02
+MIN_LOOP_KEY = 10
+
+
+@struct.dataclass
+class LoopState:
+    loop_i: jax.Array         # [L] current-keyframe id (the "j" in FourDOF)
+    loop_j: jax.Array         # [L] history/loop keyframe id (the "i")
+    loop_t: jax.Array         # [L, 3] t of T_loop_correct (in loop kf frame)
+    loop_yaw: jax.Array       # [L] relative yaw of T_loop_correct
+    loop_pitch_j: jax.Array   # [L] loop keyframe pitch at detection
+    loop_roll_j: jax.Array    # [L]
+    loop_count: jax.Array     # []
+    last_loop_travel: jax.Array   # [] lastLoopDistance
+    distance_by_loop: jax.Array   # [] DistanceByLoop
+    low_drift: jax.Array      # [] bool
+    continue_count: jax.Array # [] int32
+    last_kf_count: jax.Array  # [] int32 (bnewKeyFrame tracking)
+
+    @classmethod
+    def init(cls, cfg: SlamConfig, dtype=jnp.float32) -> "LoopState":
+        L = cfg.max_loops
+        return cls(
+            loop_i=jnp.full((L,), -1, jnp.int32),
+            loop_j=jnp.full((L,), -1, jnp.int32),
+            loop_t=jnp.zeros((L, 3), dtype),
+            loop_yaw=jnp.zeros((L,), dtype),
+            loop_pitch_j=jnp.zeros((L,), dtype),
+            loop_roll_j=jnp.zeros((L,), dtype),
+            loop_count=jnp.asarray(0, jnp.int32),
+            last_loop_travel=jnp.asarray(-1000.0, dtype),
+            distance_by_loop=jnp.asarray(0.0, dtype),
+            low_drift=jnp.asarray(False),
+            continue_count=jnp.asarray(0, jnp.int32),
+            last_kf_count=jnp.asarray(0, jnp.int32),
+        )
+
+
+class LoopInfo(NamedTuple):
+    attempted: jax.Array
+    accepted: jax.Array
+    candidate: jax.Array
+    fitness: jax.Array
+    pgo_ran: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# point-to-point ICP (pcl::IterativeClosestPoint replacement)
+# ---------------------------------------------------------------------------
+
+
+def icp_point2point(
+    src: jax.Array, src_mask: jax.Array,
+    tgt: jax.Array, tgt_mask: jax.Array,
+    max_corr: jax.Array, iterations: int,
+):
+    """Iterated 1-NN + weighted Kabsch.  Returns (q, t, fitness, n_matched)
+    with (q, t) mapping src into tgt's frame."""
+    dtype = src.dtype
+
+    def body(_, carry):
+        q, t = carry
+        sp = m3.quat_rotate(q[None, :], src) + t[None, :]
+        d2, idx = knn_ops.knn(sp, tgt, tgt_mask, 1)
+        match = src_mask & (d2[:, 0] < max_corr * max_corr)
+        w = match.astype(dtype)
+        tp = tgt[idx[:, 0]]
+        wsum = jnp.maximum(jnp.sum(w), 1.0)
+        cs = jnp.sum(sp * w[:, None], axis=0) / wsum
+        ct = jnp.sum(tp * w[:, None], axis=0) / wsum
+        H = jnp.einsum("n,ni,nj->ij", w, sp - cs, tp - ct)
+        U, _, Vt = jnp.linalg.svd(H)
+        det = jnp.linalg.det(Vt.T @ U.T)
+        S = jnp.diag(jnp.array([1.0, 1.0, det], dtype))
+        R = Vt.T @ S @ U.T
+        dq = m3.mat_to_quat(R)
+        dt = ct - R @ cs
+        q_new = m3.quat_normalize(m3.quat_mul(dq, q))
+        t_new = m3.quat_rotate(dq, t) + dt
+        return (q_new, t_new)
+
+    q, t = jax.lax.fori_loop(
+        0, iterations, body, (m3.quat_identity(dtype), jnp.zeros(3, dtype))
+    )
+    sp = m3.quat_rotate(q[None, :], src) + t[None, :]
+    d2, _ = knn_ops.knn(sp, tgt, tgt_mask, 1)
+    match = src_mask & (d2[:, 0] < max_corr * max_corr)
+    n = jnp.sum(match)
+    fitness = jnp.sum(jnp.where(match, d2[:, 0], 0.0)) / jnp.maximum(n, 1)
+    return q, t, fitness, n
+
+
+# ---------------------------------------------------------------------------
+# the step
+# ---------------------------------------------------------------------------
+
+
+def _kf_cloud_world(ms: MappingState, k: jax.Array, cap_c: int, cap_s: int):
+    """Keyframe k's corner+surf cloud in world frame."""
+    q, t = ms.kf_q[k], ms.kf_t[k]
+    c = m3.quat_rotate(q[None, :], ms.kf_corner[k]) + t[None, :]
+    s = m3.quat_rotate(q[None, :], ms.kf_surf[k]) + t[None, :]
+    pts = jnp.concatenate([c, s], axis=0)
+    mask = jnp.concatenate([ms.kf_corner_mask[k], ms.kf_surf_mask[k]])
+    return pts, mask
+
+
+def loop_closure_step(state: SlamState, loop_state: LoopState, cfg: SlamConfig):
+    ms = state.mapping
+    ls = loop_state
+    dtype = ms.t_md.dtype
+    K = ms.kf_q.shape[0]
+    L = cfg.max_loops
+
+    latest = jnp.clip(ms.kf_count - 1, 0, K - 1)
+    travel_latest = ms.kf_travel[latest]
+
+    new_kf = ms.kf_count > ls.last_kf_count
+    rate_ok = jnp.where(
+        ls.low_drift, jnp.abs(travel_latest - ls.last_loop_travel) >= 5.0, True
+    )
+    low_drift = jnp.where(
+        jnp.abs(travel_latest - ls.last_loop_travel) > 20.0, False, ls.low_drift
+    )
+    attempt = (
+        jnp.asarray(cfg.loop_closure_enable)
+        & new_kf
+        & rate_ok
+        & (ms.kf_count > MIN_LOOP_KEY + 2)
+    )
+
+    # ---- candidate search (detectLoopClosure) ----
+    radius = cfg.loop_search_radius + (travel_latest - ls.distance_by_loop) * DRIFT_FACTOR
+    kf_idx = jnp.arange(K)
+    valid = kf_idx < ms.kf_count
+    d = jnp.linalg.norm(ms.kf_t - ms.kf_t[latest][None, :], axis=-1)
+    eligible = (
+        valid
+        & (kf_idx >= MIN_LOOP_KEY)
+        & (kf_idx != latest)
+        & (d < radius)
+        & (jnp.abs(ms.kf_travel - travel_latest) > (cfg.loop_travel_gate + radius))
+    )
+    d_masked = jnp.where(eligible, d, jnp.inf)
+    cand = jnp.argmin(d_masked)
+    have_cand = jnp.isfinite(d_masked[cand]) & attempt
+
+    # ---- submap assembly (±halfwidth keyframes around the candidate) ----
+    W = cfg.loop_submap_halfwidth
+    offs = jnp.arange(-W, W + 1)
+    sub_ids = jnp.clip(cand + offs, 0, K - 1)
+    sub_ok = ((cand + offs) >= 0) & ((cand + offs) < latest) & valid[sub_ids]
+
+    def gather_world(k):
+        return _kf_cloud_world(ms, k, cfg.max_kf_corner, cfg.max_kf_surf)
+
+    sub_pts, sub_mask = jax.vmap(gather_world)(sub_ids)
+    sub_mask = sub_mask & sub_ok[:, None]
+    P = sub_pts.shape[1]
+    sub_pts = sub_pts.reshape((2 * W + 1) * P, 3)
+    sub_mask = sub_mask.reshape((2 * W + 1) * P)
+    origin = ms.kf_t[cand]
+    tgt, tgt_mask, _ = vh.voxel_downsample(
+        sub_pts - origin[None, :], sub_mask, cfg.map_surf_voxel,
+        cfg.max_loop_submap_points, probes=cfg.hash_probes,
+    )
+
+    src, src_mask = _kf_cloud_world(ms, latest, cfg.max_kf_corner, cfg.max_kf_surf)
+    src = src - origin[None, :]
+
+    q_icp, t_icp, fitness, n_icp = icp_point2point(
+        src, src_mask & have_cand, tgt, tgt_mask, 2.0 * radius,
+        cfg.loop_icp_iterations,
+    )
+    accepted = have_cand & (fitness < cfg.loop_fitness_thresh) & (n_icp > 100)
+
+    # ---- loop constraint from the ICP drift (T_loop_correct) ----
+    # world-frame drift: X_world_corrected = q_icp (X_world - origin) + t_icp + origin
+    t_drift = t_icp + origin - m3.quat_rotate(q_icp, origin)
+    q_latest, t_latest = ms.kf_q[latest], ms.kf_t[latest]
+    q_corr = m3.quat_normalize(m3.quat_mul(q_icp, q_latest))
+    t_corr = m3.quat_rotate(q_icp, t_latest) + t_drift
+    q_loop, t_loop = ms.kf_q[cand], ms.kf_t[cand]
+    q_rel = m3.quat_mul(m3.quat_conj(q_loop), q_corr)
+    t_rel = m3.quat_rotate(m3.quat_conj(q_loop), t_corr - t_loop)
+    ypr_rel = m3.quat_to_ypr(q_rel)
+    ypr_loop = m3.quat_to_ypr(q_loop)
+
+    wi = jnp.mod(ls.loop_count, L)
+    ls = ls.replace(
+        loop_i=jnp.where(accepted, ls.loop_i.at[wi].set(latest), ls.loop_i),
+        loop_j=jnp.where(accepted, ls.loop_j.at[wi].set(cand), ls.loop_j),
+        loop_t=jnp.where(accepted, ls.loop_t.at[wi].set(t_rel), ls.loop_t),
+        loop_yaw=jnp.where(accepted, ls.loop_yaw.at[wi].set(ypr_rel[0]), ls.loop_yaw),
+        loop_pitch_j=jnp.where(
+            accepted, ls.loop_pitch_j.at[wi].set(ypr_loop[1]), ls.loop_pitch_j
+        ),
+        loop_roll_j=jnp.where(
+            accepted, ls.loop_roll_j.at[wi].set(ypr_loop[2]), ls.loop_roll_j
+        ),
+        loop_count=jnp.where(accepted, ls.loop_count + 1, ls.loop_count),
+    )
+
+    # drift state machine (RGC_mapping.cpp:2125-2138)
+    cont = jnp.where(
+        accepted,
+        jnp.where(
+            jnp.abs(travel_latest - ls.last_loop_travel) < 10.0,
+            ls.continue_count + 1,
+            0,
+        ),
+        ls.continue_count,
+    )
+    low_drift = jnp.where(accepted & (cont > 4), True, low_drift)
+    dbl = jnp.maximum(travel_latest - ms.kf_travel[cand], 0.0)
+    ls = ls.replace(
+        continue_count=jnp.asarray(cont, jnp.int32),
+        low_drift=low_drift,
+        distance_by_loop=jnp.where(accepted, dbl, ls.distance_by_loop),
+        last_loop_travel=jnp.where(accepted, travel_latest, ls.last_loop_travel),
+        last_kf_count=ms.kf_count,
+    )
+
+    # ---- 4-DoF PGO (runs when a loop was just added) ----
+    state, pgo_ran = _pose_graph_optimize(state, ls, accepted, cfg)
+
+    info = LoopInfo(
+        attempted=attempt,
+        accepted=accepted,
+        candidate=cand,
+        fitness=fitness,
+        pgo_ran=pgo_ran,
+    )
+    return state, ls, info
+
+
+def _pose_graph_optimize(state: SlamState, ls: LoopState, run: jax.Array, cfg: SlamConfig):
+    """Dispatch the 4-DoF solve under lax.cond so the CG iterations only
+    execute on the (rare) scans that actually added a loop."""
+    ms_out = jax.lax.cond(
+        run,
+        lambda m: _pgo_solve(m, ls, cfg),
+        lambda m: m,
+        state.mapping,
+    )
+    return state.replace(mapping=ms_out), run
+
+
+def _pgo_solve(ms: MappingState, ls: LoopState, cfg: SlamConfig) -> MappingState:
+    dtype = ms.t_md.dtype
+    K = ms.kf_q.shape[0]
+    L = ls.loop_i.shape[0]
+    kf_idx = jnp.arange(K)
+    valid = kf_idx < ms.kf_count
+
+    ypr0 = m3.quat_to_ypr(ms.kf_q)            # [K, 3]
+    yaw0 = ypr0[:, 0]
+    pitch0 = ypr0[:, 1]
+    roll0 = ypr0[:, 2]
+    t0 = ms.kf_t
+
+    # odometry-chain measurements from current poses
+    Ri = m3.ypr_to_mat(ypr0)                   # [K,3,3]
+    t_ij_meas = jnp.einsum(
+        "kji,kj->ki", Ri[:-1], t0[1:] - t0[:-1]
+    )                                          # in frame of kf i
+    yaw_ij_meas = m3.wrap_angle(yaw0[1:] - yaw0[:-1])
+    chain_w = (valid[1:] & valid[:-1]).astype(dtype)
+
+    loops_ok = (ls.loop_i >= 0) & (ls.loop_i < ms.kf_count) & (ls.loop_j >= 0)
+    loop_w = loops_ok.astype(dtype)
+    li = jnp.clip(ls.loop_i, 0, K - 1)
+    lj = jnp.clip(ls.loop_j, 0, K - 1)
+
+    # pin the oldest loop keyframe (RGC_mapping.cpp:2404-2419)
+    oldest = jnp.min(jnp.where(loops_ok, lj, K))
+    pinned = jnp.clip(oldest, 0, K - 1)
+
+    def unpack(x):
+        yaw = x[:K]
+        t = x[K:].reshape(K, 3)
+        return yaw, t
+
+    def residuals(x):
+        yaw, t = unpack(x)
+        # gauge fix by substitution: the pinned keyframe's variables are
+        # replaced by their initial values, zeroing its Jacobian columns —
+        # better CG conditioning than a stiff prior (ref pins via
+        # SetParameterBlockConstant, RGC_mapping.cpp:2404-2419)
+        pin_mask = jnp.arange(K) == pinned
+        yaw = jnp.where(pin_mask, yaw0, yaw)
+        t = jnp.where(pin_mask[:, None], t0, t)
+
+        def chain_res(i):
+            return fac.fourdof_residual(
+                yaw[i], t[i], yaw[i + 1], t[i + 1],
+                t_ij_meas[i], yaw_ij_meas[i], pitch0[i], roll0[i],
+            )
+
+        r_chain = jax.vmap(chain_res)(jnp.arange(K - 1)) * chain_w[:, None]
+
+        def loop_res(k):
+            return fac.fourdof_residual(
+                yaw[lj[k]], t[lj[k]], yaw[li[k]], t[li[k]],
+                ls.loop_t[k], ls.loop_yaw[k], ls.loop_pitch_j[k], ls.loop_roll_j[k],
+            )
+
+        r_loop = jax.vmap(loop_res)(jnp.arange(L)) * loop_w[:, None]
+        return jnp.concatenate([r_chain.reshape(-1), r_loop.reshape(-1)])
+
+    x0 = jnp.concatenate([yaw0, t0.reshape(-1)])
+    x_opt = fac.gauss_newton_cg(
+        residuals, x0, gn_iters=cfg.pgo_iterations, cg_iters=128, damping=1e-6
+    )
+    yaw_new, t_new = unpack(x_opt)
+    pin_mask = jnp.arange(K) == pinned
+    yaw_new = jnp.where(valid & ~pin_mask, yaw_new, yaw0)
+    t_new = jnp.where((valid & ~pin_mask)[:, None], t_new, t0)
+
+    q_new = m3.ypr_to_quat(jnp.stack([yaw_new, pitch0, roll0], axis=-1))
+
+    # drift of the latest keyframe, applied to the mapping frame
+    latest = jnp.clip(ms.kf_count - 1, 0, K - 1)
+    q_dr = m3.quat_normalize(
+        m3.quat_mul(q_new[latest], m3.quat_conj(ms.kf_q[latest]))
+    )
+    t_dr = t_new[latest] - m3.quat_rotate(q_dr, ms.kf_t[latest])
+
+    def apply(q, t):
+        return (
+            m3.quat_normalize(m3.quat_mul(q_dr, q)),
+            m3.quat_rotate(q_dr, t) + t_dr,
+        )
+
+    q_md2, t_md2 = apply(ms.q_md, ms.t_md)
+    q_l2, t_l2 = apply(ms.q_w_last, ms.t_w_last)
+    q_l22, t_l22 = apply(ms.q_w_last2, ms.t_w_last2)
+
+    return ms.replace(
+        kf_q=q_new, kf_t=t_new,
+        q_md=q_md2, t_md=t_md2,
+        q_w_last=q_l2, t_w_last=t_l2,
+        q_w_last2=q_l22, t_w_last2=t_l22,
+    )

@@ -161,3 +161,31 @@ def gauss_newton(
         return x + jnp.where(ok, dx, 0.0)
 
     return jax.lax.fori_loop(0, iterations, body, jnp.zeros(dim))
+
+
+def gauss_newton_cg(
+    residual_fn: Callable[[jax.Array], jax.Array],
+    x0: jax.Array,
+    gn_iters: int = 10,
+    cg_iters: int = 50,
+    damping: float = 1e-6,
+):
+    """Matrix-free Gauss-Newton: each step solves (J^T J + λI) dx = -J^T r by
+    conjugate gradients using jvp/vjp products — the XLA-native stand-in for
+    Ceres' SPARSE_NORMAL_CHOLESKY on the pose graph (RGC_mapping.cpp:2421-2428).
+    Scales to thousands of variables without materializing J.
+    """
+
+    def gn_step(_, x):
+        r, vjp_fn = jax.vjp(residual_fn, x)
+        g = vjp_fn(r)[0]
+
+        def JTJ(p):
+            _, Jp = jax.jvp(residual_fn, (x,), (p,))
+            return vjp_fn(Jp)[0] + damping * p
+
+        dx, _ = jax.scipy.sparse.linalg.cg(JTJ, -g, maxiter=cg_iters)
+        ok = jnp.all(jnp.isfinite(dx))
+        return x + jnp.where(ok, dx, 0.0)
+
+    return jax.lax.fori_loop(0, gn_iters, gn_step, x0)

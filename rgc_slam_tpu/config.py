@@ -106,6 +106,13 @@ class SlamConfig:
     # ---- GNSS (off by default, as in reference run.launch) ----
     use_gnss: bool = False
 
+    # ---- multi-chip sharding ----
+    # When set, the registration hot loop runs point-sharded over this mesh
+    # axis: each device linearizes its slice of the source cloud and the
+    # 6x6 H / b / cost are psum-reduced over ICI (scaling-book style "sp"
+    # axis; composes with a "dp" fleet axis over robots — parallel/fleet.py).
+    psum_axis: "str | None" = None
+
     @property
     def expected_ground_ranges(self) -> Tuple[float, ...]:
         """Per-ring expected ground range for the configured sensor height.

@@ -206,13 +206,23 @@ def odometry_step(
         full_xyz, full.mask, cfg.source_voxel_size, cfg.max_source_points,
         extras=(fx.normals_cov,), probes=cfg.hash_probes,
     )
+    if cfg.psum_axis is not None:
+        # point-sharded registration: this shard linearizes a strided slice of
+        # the source; H/b/cost partials are psum-reduced inside lm_register.
+        # (Only the registration mask is sharded — the submap insertion below
+        # uses the full mask so state stays replica-consistent.)
+        shard = jax.lax.axis_index(cfg.psum_axis)
+        n_shards = jax.lax.psum(1, cfg.psum_axis)
+        reg_mask = src_mask & (jnp.arange(src.shape[0]) % n_shards == shard)
+    else:
+        reg_mask = src_mask
 
     # ---- VGICP against the submap (world frame, origin-anchored) ----
     origin = jnp.floor(state.t_w)
     vm = _submap_target(state, cfg, origin)
     q_guess = m3.quat_normalize(m3.quat_mul(state.q_w, q_pred))
     t_guess = state.t_w + m3.quat_rotate(state.q_w, t_pred) - origin
-    res = reg.lm_register(src, src_cov, src_mask, vm, q_guess, t_guess, cfg)
+    res = reg.lm_register(src, src_cov, reg_mask, vm, q_guess, t_guess, cfg)
     have_map = state.sub_count > 0
     q_new_w = jnp.where(have_map, res.q, q_guess)
     t_new_w = jnp.where(have_map, res.t, t_guess) + origin

@@ -21,10 +21,18 @@ def knn(
     k: int,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (sq_dists [Q, k], indices [Q, k]); masked points at +inf."""
+    # center to keep |a|^2 - 2ab cancellation well-conditioned in f32
+    center = jnp.mean(queries, axis=0, keepdims=True)
+    queries = queries - center
+    points = points - center
     q2 = jnp.sum(queries * queries, axis=-1, keepdims=True)          # [Q,1]
     p2 = jnp.sum(points * points, axis=-1)                           # [N]
+    # full f32 precision: TPU matmuls default to bf16 inputs, whose ~8-bit
+    # mantissa corrupts squared distances at map-scale coordinates
     cross = jnp.dot(
-        queries, points.T, preferred_element_type=jnp.float32
+        queries, points.T,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )                                                                 # [Q,N] MXU
     d2 = q2 + p2[None, :] - 2.0 * cross
     d2 = jnp.where(points_mask[None, :], d2, jnp.inf)

@@ -119,16 +119,26 @@ def find_correspondences(
     return Correspondences(mean_B=mean_B, Minv=Minv, w=w, valid=valid)
 
 
-def corr_cost(corr: Correspondences, src: jax.Array, q: jax.Array, t: jax.Array):
+def corr_cost(corr: Correspondences, src: jax.Array, q: jax.Array, t: jax.Array,
+              psum_axis=None):
     """Cost at (q, t) with frozen correspondences (ref ``compute_error``)."""
     Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
     err = corr.mean_B - Tp
     Me = jnp.einsum("nij,nj->ni", corr.Minv, err)
-    return jnp.sum(corr.w * jnp.sum(err * Me, axis=-1))
+    cost = jnp.sum(corr.w * jnp.sum(err * Me, axis=-1))
+    if psum_axis is not None:
+        cost = jax.lax.psum(cost, psum_axis)
+    return cost
 
 
-def corr_linearize(corr: Correspondences, src: jax.Array, q: jax.Array, t: jax.Array):
-    """H/b at (q, t) with frozen correspondences.  J = [skew(Tp) | -I]."""
+def corr_linearize(corr: Correspondences, src: jax.Array, q: jax.Array, t: jax.Array,
+                   psum_axis=None):
+    """H/b at (q, t) with frozen correspondences.  J = [skew(Tp) | -I].
+
+    With ``psum_axis`` the local (point-sharded) partial sums are all-reduced
+    over the named mesh axis — the TPU analog of the reference's OpenMP
+    per-thread H/b partials merged at the end (fast_vgicp_impl.hpp:135-180).
+    """
     Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
     err = corr.mean_B - Tp
     w, Minv = corr.w, corr.Minv
@@ -146,20 +156,29 @@ def corr_linearize(corr: Correspondences, src: jax.Array, q: jax.Array, t: jax.A
     H_rt = -jnp.sum(w[:, None, None] * StM, axis=0)
     H_tt = jnp.einsum("n,nij->ij", w, Minv)
     H = jnp.block([[H_rr, H_rt], [H_rt.T, H_tt]])
+    if psum_axis is not None:
+        H = jax.lax.psum(H, psum_axis)
+        b = jax.lax.psum(b, psum_axis)
+        cost = jax.lax.psum(cost, psum_axis)
     return H, b, cost
 
 
 def vgicp_linearize(
-    src, src_cov, src_mask, vm, q, t, max_corr_dist, probes: int = 16
+    src, src_cov, src_mask, vm, q, t, max_corr_dist, probes: int = 16,
+    psum_axis=None,
 ):
     """Correspondence search + linearization at (q, t).  Returns (H, b, cost,
     n_corr, corr) with corr reusable for the LM accept test."""
     corr = find_correspondences(src, src_cov, src_mask, vm, q, t, max_corr_dist, probes)
-    H, b, cost = corr_linearize(corr, src, q, t)
-    return H, b, cost, jnp.sum(corr.valid), corr
+    H, b, cost = corr_linearize(corr, src, q, t, psum_axis)
+    n = jnp.sum(corr.valid)
+    if psum_axis is not None:
+        n = jax.lax.psum(n, psum_axis)
+    return H, b, cost, n, corr
 
 
-def vgicp_fitness(src, src_mask, vm, q, t, max_corr_dist, probes: int = 16):
+def vgicp_fitness(src, src_mask, vm, q, t, max_corr_dist, probes: int = 16,
+                  psum_axis=None):
     """Mean squared euclidean distance over matched points — the analog of
     ``pcl::Registration::getFitnessScore`` used as confidence ``vgicp_source``
     (RGC_odometer.cpp:1010)."""
@@ -171,7 +190,11 @@ def vgicp_fitness(src, src_mask, vm, q, t, max_corr_dist, probes: int = 16):
     dist2 = jnp.sum(err * err, axis=-1)
     valid = found & (dist2 < max_corr_dist * max_corr_dist)
     n = jnp.sum(valid)
-    return jnp.where(valid, dist2, 0.0).sum() / jnp.maximum(n, 1), n
+    tot = jnp.where(valid, dist2, 0.0).sum()
+    if psum_axis is not None:
+        n = jax.lax.psum(n, psum_axis)
+        tot = jax.lax.psum(tot, psum_axis)
+    return tot / jnp.maximum(n, 1), n
 
 
 # ---------------------------------------------------------------------------
@@ -202,6 +225,7 @@ def lm_register(
     dtype = src.dtype
     max_corr = cfg.vgicp_max_corr_dist
     probes = cfg.hash_probes
+    psum_axis = cfg.psum_axis
 
     def is_converged(dq, dt_):
         # reference compares |R - I| and |t| elementwise against epsilons
@@ -215,7 +239,7 @@ def lm_register(
 
     def outer_body(s: _LMState):
         H, b, y0, _, corr = vgicp_linearize(
-            src, src_cov, src_mask, vm, s.q, s.t, max_corr, probes
+            src, src_cov, src_mask, vm, s.q, s.t, max_corr, probes, psum_axis
         )
         lam0 = jnp.where(
             s.lm_lambda < 0,
@@ -231,7 +255,7 @@ def lm_register(
             dt_ = d[3:]
             q_new = m3.quat_normalize(m3.quat_mul(dq, s.q))
             t_new = m3.quat_rotate(dq, s.t) + dt_
-            yi = corr_cost(corr, src, q_new, t_new)
+            yi = corr_cost(corr, src, q_new, t_new, psum_axis)
             denom = jnp.dot(d, lam * d - b)
             rho = (y0 - yi) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
             accept = rho > 0
@@ -283,7 +307,7 @@ def lm_register(
         H=jnp.zeros((6, 6), dtype),
     )
     s = jax.lax.while_loop(outer_cond, outer_body, s0)
-    mean_d2, n_corr = vgicp_fitness(src, src_mask, vm, s.q, s.t, max_corr, probes)
+    mean_d2, n_corr = vgicp_fitness(src, src_mask, vm, s.q, s.t, max_corr, probes, psum_axis)
     # fitness: mean squared euclidean distance of matched points, like
     # pcl::Registration::getFitnessScore (used as confidence `vgicp_source`)
     return RegistrationResult(

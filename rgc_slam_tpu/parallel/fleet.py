@@ -1,0 +1,86 @@
+"""Multi-robot fleet SLAM + multi-chip sharding.
+
+The reference's parallelism is 3 pipelined processes + OpenMP point loops
+(SURVEY §2.4); there is nothing to shard across machines for one robot.  The
+TPU-native scaling story (BASELINE config 5) is therefore:
+
+  * **vmap fleet** — one compiled program runs B independent SLAM instances
+    per chip (multi-robot fleets / parameter sweeps).  All state is a batched
+    pytree; the whole pipeline was built mask-padded so this is a one-liner.
+  * **dp × sp mesh** — `shard_map` over a 2-D device Mesh: the fleet batch is
+    sharded over the ``dp`` axis (zero cross-robot communication) and the
+    VGICP hot loop is point-sharded over ``sp`` with psum-reduced 6x6 H / b /
+    cost partials riding ICI (the scaling-book recipe: annotate shardings,
+    let XLA insert the collectives; see cfg.psum_axis / ops/registration.py).
+    A psum'd fleet-health summary over ``dp`` exercises the data-parallel
+    collective as well.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..config import SlamConfig
+from ..types import ImuBatch, PointCloud
+from ..models.slam import SlamState, SlamOutput, slam_step
+
+
+def fleet_init(cfg: SlamConfig, n_robots: int) -> SlamState:
+    """Batched initial state [B, ...] for a fleet of independent robots."""
+    one = SlamState.init(cfg)
+    return jax.tree.map(lambda a: jnp.broadcast_to(a, (n_robots,) + a.shape), one)
+
+
+def fleet_step(states: SlamState, clouds: PointCloud, imus: ImuBatch,
+               stamps: jax.Array, cfg: SlamConfig):
+    """vmapped slam_step over the robot axis (single chip)."""
+    return jax.vmap(functools.partial(slam_step, cfg=cfg))(states, clouds, imus, stamps)
+
+
+def make_mesh(n_dp: int, n_sp: int) -> Mesh:
+    devs = np.asarray(jax.devices()[: n_dp * n_sp]).reshape(n_dp, n_sp)
+    return Mesh(devs, axis_names=("dp", "sp"))
+
+
+class FleetSummary(Tuple):
+    pass
+
+
+def make_distributed_step(mesh: Mesh, cfg: SlamConfig):
+    """shard_map'd fleet step over a ('dp','sp') mesh.
+
+    The robot batch is sharded over dp; each robot's registration reduction is
+    point-sharded over sp (psum on H/b/cost inside lm_register).  State and
+    inputs are replicated over sp and sharded over dp.  Returns a function
+    (states, clouds, imus, stamps) -> (states, outputs, fleet_mean_fitness).
+    """
+    sp_cfg = dataclasses.replace(cfg, psum_axis="sp")
+
+    def local_step(states, clouds, imus, stamps):
+        new_states, outs = jax.vmap(functools.partial(slam_step, cfg=sp_cfg))(
+            states, clouds, imus, stamps
+        )
+        # fleet-health summary: mean fitness over ALL robots (dp collective)
+        local_sum = jnp.sum(outs.fitness)
+        local_n = jnp.asarray(outs.fitness.shape[0], jnp.float32)
+        total = jax.lax.psum(local_sum, "dp")
+        count = jax.lax.psum(local_n, "dp")
+        return new_states, outs, total / count
+
+    # robots sharded over dp, replicated over sp
+    batch_spec = P("dp")
+    return jax.jit(
+        jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(batch_spec, batch_spec, batch_spec, batch_spec),
+            out_specs=(batch_spec, batch_spec, P()),
+            check_vma=False,
+        )
+    )

@@ -1,0 +1,72 @@
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rgc_slam_tpu.config import TEST_CONFIG
+from rgc_slam_tpu.io import synthetic
+from rgc_slam_tpu.io.convert import cloud_from_scan_dict, imu_from_interval
+from rgc_slam_tpu.parallel import fleet
+from rgc_slam_tpu.models.slam import SlamState, slam_step
+
+CFG = TEST_CONFIG
+
+
+def _inputs(n_robots, n_steps=3):
+    seq = synthetic.generate_sequence(
+        n_scans=n_steps + 1, n_azimuth=120, seed=7, extent=15.0, radius=6.0,
+        noise=0.004, closes_loop=False, speed=1.5,
+    )
+    steps = []
+    for k in range(len(seq["scans"])):
+        cloud = cloud_from_scan_dict(seq["scans"][k], CFG)
+        t_imu, acc, gyr = seq["imu"][k]
+        imu = imu_from_interval(t_imu, acc, gyr, CFG.max_imu)
+        stamp = jnp.asarray(seq["stamps"][k], jnp.float32)
+        batch = lambda a: jax.tree.map(lambda x: jnp.stack([x] * n_robots), a)
+        steps.append((batch(cloud), batch(imu), jnp.stack([stamp] * n_robots)))
+    return steps
+
+
+def test_vmap_fleet_matches_single():
+    """A fleet of identical robots must produce identical per-robot results,
+    equal to the single-robot path."""
+    steps = _inputs(4, n_steps=2)
+    states = fleet.fleet_init(CFG, 4)
+    single = SlamState.init(CFG)
+    sstep = jax.jit(functools.partial(slam_step, cfg=CFG))
+    for cloud, imu, stamps in steps:
+        states, outs = fleet.fleet_step(states, cloud, imu, stamps, CFG)
+        single, sout = sstep(
+            jax.tree.map(lambda a: a, single),
+            jax.tree.map(lambda a: a[0], cloud),
+            jax.tree.map(lambda a: a[0], imu),
+            stamps[0],
+        )
+    tm = np.asarray(outs.t_map)
+    np.testing.assert_allclose(tm[0], tm[1], atol=1e-6)
+    np.testing.assert_allclose(tm[0], np.asarray(sout.t_map), atol=1e-4)
+
+
+def test_sharded_fleet_on_virtual_mesh():
+    """dp×sp shard_map must compile, run, and agree with the vmap fleet."""
+    n_dev = len(jax.devices())
+    assert n_dev >= 8, f"expected 8 virtual devices, got {n_dev}"
+    mesh = fleet.make_mesh(4, 2)
+    dstep = fleet.make_distributed_step(mesh, CFG)
+    steps = _inputs(8, n_steps=2)
+    states_sh = fleet.fleet_init(CFG, 8)
+    states_ref = fleet.fleet_init(CFG, 8)
+    for cloud, imu, stamps in steps:
+        states_sh, outs_sh, mean_fit = dstep(states_sh, cloud, imu, stamps)
+        states_ref, outs_ref = fleet.fleet_step(states_ref, cloud, imu, stamps, CFG)
+    np.testing.assert_allclose(
+        np.asarray(outs_sh.t_map), np.asarray(outs_ref.t_map), atol=5e-3
+    )
+    assert np.isfinite(float(mean_fit))
+    np.testing.assert_allclose(
+        float(mean_fit), float(np.mean(np.asarray(outs_ref.fitness))), atol=1e-3
+    )

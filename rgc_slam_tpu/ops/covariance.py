@@ -31,7 +31,9 @@ def eigh3x3(A: jax.Array):
     p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * (
         a01 * a01 + a02 * a02 + a12 * a12
     )
-    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    # floor keeps inv_p**3 inside f32 range (a 1e-30 floor overflows to inf
+    # on near-zero matrices and poisons downstream sums through 0*inf=NaN)
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-24))
     inv_p = 1.0 / p
     # det(B)/2 where B = (A - qI)/p
     c00 = b11 * b22 - a12 * a12

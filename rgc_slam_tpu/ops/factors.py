@@ -118,6 +118,55 @@ def plane_norm_residual(q, t, p, unit_norm, neg_oa_dot_norm, var) -> jax.Array:
     return (jnp.dot(unit_norm, pw) + neg_oa_dot_norm) * var
 
 
+def plane_3pt_residual(q, t, p, pj, pl, pm) -> jax.Array:
+    """Point-to-plane with the plane from 3 points (``LidarPlaneFactor``,
+    lidarFactor.hpp:53-89 — A-LOAM leftover, unused in the reference graphs
+    but part of the factor library surface)."""
+    n = jnp.cross(pj - pl, pj - pm)
+    n = n / jnp.maximum(jnp.linalg.norm(n), 1e-12)
+    lp = m3.quat_rotate(q, p) + t
+    return jnp.dot(lp - pj, n)
+
+
+def imu_delta_p_residual(t, p_meas, p_rel, var) -> jax.Array:
+    """2-dim xy translation prior (``IMU_DeltaPFactor``, lidarFactor.hpp:267-309,
+    unused in the reference graphs)."""
+    e = t + p_rel - p_meas
+    return e[:2] / var
+
+
+def ground_z_residual(t_i, t_j, var) -> jax.Array:
+    """z_i - z_j (``GroundFactor``, lidarFactor.hpp:470-488, unused)."""
+    return (t_i[2] - t_j[2]) / var
+
+
+def imu_preint_residual(
+    p_i, q_i, v_i, ba_i, bg_i,
+    p_j, q_j, v_j, ba_j, bg_j,
+    delta_p, delta_q, delta_v, sum_dt,
+    gravity: float = 9.81,
+) -> jax.Array:
+    """Full 15-dim IMU preintegration residual (``IntegrationBase::evaluate``,
+    utility.h:349-379 / ``IMUFactor``, lidarFactor.hpp:598-815).
+
+    [r_p(3), r_q(3), r_v(3), r_ba(3), r_bg(3)] with the standard VINS form.
+    Bias-correction Jacobians are handled by re-preintegrating in JAX (autodiff
+    differentiates through the preintegration scan), so the first-order
+    bias-correction terms of the reference are not needed here.
+    """
+    G = jnp.array([0.0, 0.0, gravity], p_i.dtype)
+    qi_inv = m3.quat_conj(q_i)
+    r_p = (
+        m3.quat_rotate(qi_inv, 0.5 * G * sum_dt * sum_dt + p_j - p_i - v_i * sum_dt)
+        - delta_p
+    )
+    r_q = 2.0 * m3.quat_mul(
+        m3.quat_conj(delta_q), m3.quat_mul(qi_inv, q_j)
+    )[1:4]
+    r_v = m3.quat_rotate(qi_inv, G * sum_dt + v_j - v_i) - delta_v
+    return jnp.concatenate([r_p, r_q, r_v, ba_j - ba_i, bg_j - bg_i])
+
+
 def fourdof_residual(yaw_i, t_i, yaw_j, t_j, t_ij_meas, yaw_ij_meas, pitch_i, roll_i):
     """4-DoF relative pose residual (radians internally; reference works in
     degrees — conversion handled by the PGO layer)."""

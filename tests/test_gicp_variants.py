@@ -1,0 +1,130 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rgc_slam_tpu.config import TEST_CONFIG
+from rgc_slam_tpu.ops import gicp
+from rgc_slam_tpu.ops import factors as fac
+from rgc_slam_tpu.ops import imu as imu_ops
+from rgc_slam_tpu.types import ImuBatch
+from rgc_slam_tpu.utils import math3d as m3
+
+CFG = TEST_CONFIG
+
+
+def _structured_cloud(rng, n=2000):
+    """Points on two walls + ground — full 6-DoF constraint."""
+    a = np.stack([rng.uniform(0, 10, n // 3), np.zeros(n // 3), rng.uniform(0, 3, n // 3)], 1)
+    b = np.stack([np.zeros(n // 3), rng.uniform(0, 10, n // 3), rng.uniform(0, 3, n // 3)], 1)
+    g = np.stack([rng.uniform(0, 10, n - 2 * (n // 3)), rng.uniform(0, 10, n - 2 * (n // 3)),
+                  np.zeros(n - 2 * (n // 3))], 1)
+    pts = np.concatenate([a, b, g]) + rng.normal(0, 0.01, (n, 3))
+    return pts.astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def cloud_pair(rng):
+    src = _structured_cloud(rng)
+    q_gt = np.asarray(m3.ypr_to_quat(jnp.array([0.05, 0.02, -0.03])))
+    t_gt = np.array([0.3, -0.2, 0.1], np.float32)
+    tgt = np.asarray(m3.quat_rotate(jnp.asarray(q_gt)[None], jnp.asarray(src))) + t_gt
+    return src, tgt.astype(np.float32), q_gt, t_gt
+
+
+def test_gicp_register(cloud_pair):
+    src, tgt, q_gt, t_gt = cloud_pair
+    n = src.shape[0]
+    res = jax.jit(
+        lambda s, t: gicp.gicp_register(
+            s, jnp.ones(n, bool), t, jnp.ones(n, bool),
+            m3.quat_identity(), jnp.zeros(3), CFG,
+        )
+    )(jnp.asarray(src), jnp.asarray(tgt))
+    assert np.abs(np.asarray(res.t) - t_gt).max() < 0.02
+    dot = abs(float(jnp.sum(res.q * jnp.asarray(q_gt))))
+    assert dot > 0.99999, f"rotation mismatch, |<q,q_gt>|={dot}"
+
+
+def test_ndt_register(cloud_pair):
+    src, tgt, q_gt, t_gt = cloud_pair
+    n = src.shape[0]
+    res = gicp.ndt_register(
+        jnp.asarray(src), jnp.ones(n, bool), jnp.asarray(tgt), jnp.ones(n, bool),
+        m3.quat_identity(), jnp.zeros(3), CFG, resolution=1.0,
+    )
+    assert np.abs(np.asarray(res.t) - t_gt).max() < 0.1
+    dot = abs(float(jnp.sum(res.q * jnp.asarray(q_gt))))
+    assert dot > 0.9999
+
+
+def test_knn_covariances_plane(rng):
+    pts = jnp.asarray(
+        np.stack([rng.uniform(0, 5, 500), rng.uniform(0, 5, 500),
+                  rng.normal(0, 0.005, 500)], 1), jnp.float32
+    )
+    covs = gicp.knn_covariances(pts, jnp.ones(500, bool), k=10)
+    # plane normal ~z: smallest eigen-direction must be vertical
+    from rgc_slam_tpu.ops.covariance import eigh3x3
+
+    evals, evecs = eigh3x3(covs)
+    nz = np.abs(np.asarray(evecs[..., 2, 0]))
+    assert (nz > 0.95).mean() > 0.9
+
+
+# ---- factor-library parity checks (finite differences) ----
+
+
+def test_imu_preint_residual_zero_at_truth():
+    """Residual must vanish when states exactly match the preintegration."""
+    m = 20
+    ts = np.arange(m) * 0.005 + 0.005
+    w = np.array([0.1, -0.05, 0.3])
+    a_body = np.array([0.2, 0.1, 9.81])
+    imu = ImuBatch(
+        t=jnp.asarray(ts, jnp.float32),
+        acc=jnp.broadcast_to(jnp.asarray(a_body, jnp.float32), (m, 3)),
+        gyr=jnp.broadcast_to(jnp.asarray(w, jnp.float32), (m, 3)),
+        mask=jnp.ones(m, bool),
+    )
+    pre = imu_ops.preintegrate(imu, jnp.asarray(0.0), jnp.asarray(0.1),
+                               jnp.zeros(3), jnp.zeros(3))
+    # construct consistent world states: start at rest at origin, identity att
+    q_i = m3.quat_identity()
+    p_i = jnp.zeros(3)
+    v_i = jnp.zeros(3)
+    G = jnp.array([0.0, 0.0, 9.81])
+    dt = pre.sum_dt
+    q_j = pre.delta_q
+    v_j = v_i + m3.quat_rotate(q_i, pre.delta_v) - G * dt
+    p_j = p_i + v_i * dt + m3.quat_rotate(q_i, pre.delta_p) - 0.5 * G * dt * dt
+    r = fac.imu_preint_residual(
+        p_i, q_i, v_i, jnp.zeros(3), jnp.zeros(3),
+        p_j, q_j, v_j, jnp.zeros(3), jnp.zeros(3),
+        pre.delta_p, pre.delta_q, pre.delta_v, dt,
+    )
+    assert np.abs(np.asarray(r)).max() < 1e-4
+
+
+def test_misc_factor_residuals(rng):
+    q = m3.ypr_to_quat(jnp.array([0.1, 0.05, -0.02]))
+    t = jnp.array([1.0, 2.0, 0.5])
+    p = jnp.array([3.0, 1.0, 0.2])
+    pj, pl, pm = (jnp.asarray(rng.normal(size=3), jnp.float32) for _ in range(3))
+    r = fac.plane_3pt_residual(q, t, p, pj, pl, pm)
+    assert np.isfinite(float(r))
+    r2 = fac.imu_delta_p_residual(t, jnp.ones(3), jnp.zeros(3), 0.5)
+    np.testing.assert_allclose(np.asarray(r2), (np.asarray(t[:2]) - 1.0) / 0.5)
+    r3 = fac.ground_z_residual(t, jnp.array([0.0, 0.0, 0.1]), 2.0)
+    np.testing.assert_allclose(float(r3), 0.2)
+
+
+def test_edge_factor_matches_geometry():
+    """Edge residual magnitude equals point-to-line distance."""
+    q = m3.quat_identity()
+    t = jnp.zeros(3)
+    pa = jnp.array([0.0, 0.0, 0.0])
+    pb = jnp.array([1.0, 0.0, 0.0])
+    p = jnp.array([0.5, 0.7, 0.0])
+    r = fac.edge_residual(q, t, p, pa, pb, 1.0)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(r)), 0.7, atol=1e-6)

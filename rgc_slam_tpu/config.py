@@ -85,6 +85,10 @@ class SlamConfig:
     map_opt_iterations: int = 2           # outer relinearization count
     map_knn: int = 5                      # 5-NN line/plane fits
 
+    # ---- mode (ref run.launch:30, RGC_mapping.cpp:238): True = build the map,
+    # False = localization in a prior map (keyframe store frozen, no loops) ----
+    map_update: bool = True
+
     # ---- loop closure / PGO (ref RGC_mapping.cpp:154-160,2006-2466) ----
     loop_closure_enable: bool = True
     loop_search_radius: float = 15.0

@@ -157,8 +157,9 @@ def loop_closure_step(state: SlamState, loop_state: LoopState, cfg: SlamConfig):
     low_drift = jnp.where(
         jnp.abs(travel_latest - ls.last_loop_travel) > 20.0, False, ls.low_drift
     )
+    # localization mode runs no loop detection (RGC_mapping.cpp:2014)
     attempt = (
-        jnp.asarray(cfg.loop_closure_enable)
+        jnp.asarray(cfg.loop_closure_enable and cfg.map_update)
         & new_kf
         & rate_ok
         & (ms.kf_count > MIN_LOOP_KEY + 2)

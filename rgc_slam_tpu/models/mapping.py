@@ -330,11 +330,13 @@ def mapping_step(
         (n_corner > 10) & (n_surf > 50) & (n_cm > 10) & (n_sm > 50)
     )
 
-    # ---- IMU factor covariances (RGC_mapping.cpp:1285-1311) ----
+    # ---- IMU factor covariances (RGC_mapping.cpp:1285-1311); both factor
+    # families are disabled in localization mode like the reference's
+    # ``map_update != 0`` gates ----
     imu_cov = jnp.where(jnp.linalg.norm(d_ypr_deg) > 0.6, 0.004, 0.4)
-    w_imu = jnp.asarray(1.0 if cfg.use_imu else 0.0, dtype)
+    w_imu = jnp.asarray(1.0 if (cfg.use_imu and cfg.map_update) else 0.0, dtype)
     ground_on = (
-        cfg.use_ground & (gflag == 0) & (state.count > 20)
+        cfg.use_ground & cfg.map_update & (gflag == 0) & (state.count > 20)
         & ground_cur.valid & state.ground_last.valid
     )
     w_ground = jnp.where(ground_on, 1.0, 0.0).astype(dtype)
@@ -409,7 +411,7 @@ def mapping_step(
     ypr_c = m3.mat_to_ypr(m3.quat_to_mat(q_w))
     d_ang = jnp.max(jnp.abs(m3.wrap_angle(ypr_l - ypr_c)))
     add_kf = (~has_kf) | (d_pos > cfg.keyframe_dist) | (d_ang > cfg.keyframe_angle)
-    add_kf = add_kf & (state.kf_count < K)
+    add_kf = add_kf & (state.kf_count < K) & jnp.asarray(cfg.map_update)
 
     wi = jnp.clip(state.kf_count, 0, K - 1)
     C, S = cfg.max_kf_corner, cfg.max_kf_surf

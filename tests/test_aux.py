@@ -1,0 +1,158 @@
+"""Auxiliary subsystems: GNSS, checkpoint/resume, exports, profiling,
+localization mode."""
+import dataclasses
+import functools
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rgc_slam_tpu.config import TEST_CONFIG
+from rgc_slam_tpu.io import synthetic
+from rgc_slam_tpu.io.convert import cloud_from_scan_dict, imu_from_interval
+from rgc_slam_tpu.io.export import (
+    compose_map_pose, global_map, loop_edges, read_pcd, write_pcd,
+)
+from rgc_slam_tpu.io.gnss import GnssFix, GnssTrack, gnss_to_xyz
+from rgc_slam_tpu.models import loop as loop_mod
+from rgc_slam_tpu.models.slam import SlamState, slam_step
+from rgc_slam_tpu.utils import checkpoint as ckpt
+from rgc_slam_tpu.utils import math3d as m3
+from rgc_slam_tpu.utils.profiling import Metrics, StageTimer, TicToc
+
+CFG = TEST_CONFIG
+
+
+def test_gnss_to_xyz_scale():
+    anchor = GnssFix(t=0, latitude=45.0, longitude=10.0, altitude=100.0)
+    # 1e-5 deg latitude ~= 1.11 m north
+    fix = GnssFix(t=1, latitude=45.00001, longitude=10.0, altitude=101.0)
+    p = gnss_to_xyz(fix, anchor)
+    assert abs(p[1] - 1.112) < 0.01
+    assert abs(p[0]) < 1e-6
+    assert abs(p[2] - 1.0) < 1e-9
+    # longitude arc shrinks with cos(lat)
+    fix2 = GnssFix(t=2, latitude=45.0, longitude=10.00001, altitude=100.0)
+    p2 = gnss_to_xyz(fix2, anchor)
+    assert abs(p2[0] - 1.112 * np.cos(np.radians(45.0))) < 0.01
+
+
+def test_gnss_track(tmp_path):
+    track = GnssTrack()
+    for i in range(5):
+        track.push(GnssFix(t=i * 0.1, latitude=45 + i * 1e-5, longitude=10.0, altitude=0))
+    stamps, xyz = track.as_arrays()
+    assert xyz.shape == (5, 3)
+    assert xyz[0, 1] == 0.0 and xyz[-1, 1] > 4.0
+    track.dump_tum(str(tmp_path / "rtk.txt"))
+    assert (tmp_path / "rtk.txt").read_text().count("\n") == 5
+
+
+@pytest.fixture(scope="module")
+def short_run():
+    seq = synthetic.generate_sequence(
+        n_scans=8, n_azimuth=240, seed=2, extent=15.0, radius=6.0,
+        noise=0.004, closes_loop=False, speed=1.5,
+    )
+    state = SlamState.init(CFG)
+    step = jax.jit(functools.partial(slam_step, cfg=CFG))
+    for k in range(len(seq["scans"])):
+        cloud = cloud_from_scan_dict(seq["scans"][k], CFG)
+        t_imu, acc, gyr = seq["imu"][k]
+        imu = imu_from_interval(t_imu, acc, gyr, CFG.max_imu)
+        state, out = step(state, cloud, imu, jnp.asarray(seq["stamps"][k], jnp.float32))
+    return seq, state, step
+
+
+def test_checkpoint_roundtrip(tmp_path, short_run):
+    seq, state, step = short_run
+    ckpt.save(str(tmp_path / "ck"), state, step=7)
+    restored, step_no = ckpt.restore(str(tmp_path / "ck"), SlamState.init(CFG))
+    assert step_no == 7
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_continues_identically(tmp_path, short_run):
+    """Processing scans 0..3, checkpointing, resuming, processing 4..7 must
+    equal an uninterrupted run."""
+    seq, final_state, step = short_run
+
+    def run(state, lo, hi):
+        for k in range(lo, hi):
+            cloud = cloud_from_scan_dict(seq["scans"][k], CFG)
+            t_imu, acc, gyr = seq["imu"][k]
+            imu = imu_from_interval(t_imu, acc, gyr, CFG.max_imu)
+            state, out = step(state, cloud, imu, jnp.asarray(seq["stamps"][k], jnp.float32))
+        return state
+
+    half = run(SlamState.init(CFG), 0, 4)
+    ckpt.save(str(tmp_path / "mid"), half, step=4)
+    resumed, _ = ckpt.restore(str(tmp_path / "mid"), SlamState.init(CFG))
+    full = run(resumed, 4, len(seq["scans"]))
+    np.testing.assert_allclose(
+        np.asarray(full.mapping.t_w_last), np.asarray(final_state.mapping.t_w_last),
+        atol=1e-5,
+    )
+
+
+def test_localization_mode_freezes_map(short_run):
+    """map_update=False: keyframe store must not grow, loops must not fire."""
+    seq, mapped_state, _ = short_run
+    loc_cfg = dataclasses.replace(CFG, map_update=False)
+    step = jax.jit(functools.partial(slam_step, cfg=loc_cfg))
+    # start localization from the previously built map
+    state = SlamState.init(loc_cfg).replace(mapping=mapped_state.mapping)
+    kf0 = int(state.mapping.kf_count)
+    for k in range(3):
+        cloud = cloud_from_scan_dict(seq["scans"][k], loc_cfg)
+        t_imu, acc, gyr = seq["imu"][k]
+        imu = imu_from_interval(t_imu, acc, gyr, loc_cfg.max_imu)
+        state, out = step(state, cloud, imu, jnp.asarray(seq["stamps"][k], jnp.float32))
+        assert not bool(out.kf_added)
+    assert int(state.mapping.kf_count) == kf0
+
+
+def test_global_map_and_pcd(tmp_path, short_run):
+    seq, state, _ = short_run
+    pts, conf = global_map(state.mapping, CFG)
+    assert pts.shape[0] > 100
+    assert np.isfinite(pts).all()
+    p = str(tmp_path / "map.pcd")
+    write_pcd(p, pts, conf)
+    xyz2, inten2 = read_pcd(p)
+    np.testing.assert_allclose(xyz2, pts, atol=1e-6)
+    np.testing.assert_allclose(inten2, conf, atol=1e-6)
+
+
+def test_loop_edges_empty(short_run):
+    seq, state, _ = short_run
+    ls = loop_mod.LoopState.init(CFG)
+    edges = loop_edges(state.mapping, ls)
+    assert edges.shape == (0, 2, 3)
+
+
+def test_compose_map_pose():
+    q_md = m3.ypr_to_quat(jnp.array([0.3, 0.0, 0.0]))
+    t_md = jnp.array([1.0, 2.0, 0.0])
+    q_o = m3.quat_identity()
+    t_o = jnp.array([1.0, 0.0, 0.0])
+    q, t = compose_map_pose(q_md, t_md, q_o, t_o)
+    expected = np.asarray(t_md) + np.asarray(m3.quat_rotate(q_md, t_o))
+    np.testing.assert_allclose(np.asarray(t), expected, atol=1e-6)
+
+
+def test_profiling_tools():
+    timer = StageTimer(budget_ms=1e9)
+    tt = TicToc()
+    with timer.stage("work"):
+        _ = jnp.sum(jnp.ones((64, 64))).block_until_ready()
+    assert tt.toc() >= 0.0
+    s = timer.summary()
+    assert "work" in s and s["work"]["count"] == 1
+    m = Metrics()
+    m.log(0, fitness=0.12, n_corr=500)
+    m.log(1, fitness=0.10)
+    assert m.series("fitness").shape == (2,)

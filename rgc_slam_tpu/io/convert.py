@@ -36,6 +36,42 @@ def cloud_from_arrays(
     )
 
 
+def ring_from_vertical_angle(xyz: np.ndarray, n_scans: int):
+    """Ring id from the vertical angle for sensors without a ring channel
+    (KITTI HDL-64E etc.) — the 16/32/64-beam binning formulas of
+    scanRegistration.cpp:145-178.  Returns (ring, valid)."""
+    angle = np.degrees(
+        np.arctan2(xyz[:, 2], np.linalg.norm(xyz[:, :2], axis=1) + 1e-12)
+    )
+    if n_scans == 16:
+        ring = np.floor((angle + 15.0) / 2.0 + 0.5).astype(np.int32)
+        valid = (ring >= 0) & (ring < 16)
+    elif n_scans == 32:
+        ring = np.floor((angle + 92.0 / 3.0) * 3.0 / 4.0).astype(np.int32)
+        valid = (ring >= 0) & (ring < 32)
+    elif n_scans == 64:
+        upper = angle >= -8.83
+        ring = np.where(
+            upper,
+            np.floor((2.0 - angle) * 3.0 + 0.5),
+            64 / 2 + np.floor((-8.83 - angle) * 2.0 + 0.5),
+        ).astype(np.int32)
+        valid = (angle <= 2.0) & (angle >= -24.33) & (ring >= 0) & (ring <= 50)
+    else:
+        raise ValueError("only 16/32/64 beam supported")
+    return np.clip(ring, 0, n_scans - 1), valid
+
+
+def rel_time_from_azimuth(xyz: np.ndarray) -> np.ndarray:
+    """Per-point sweep fraction from the horizontal angle (the reference's
+    startOri/endOri bookkeeping, scanRegistration.cpp:115-207), assuming one
+    full clockwise revolution."""
+    ori = -np.arctan2(xyz[:, 1], xyz[:, 0])
+    start = ori[0]
+    rel = (ori - start) % (2 * np.pi) / (2 * np.pi)
+    return rel.astype(np.float32)
+
+
 def cloud_from_scan_dict(scan: dict, cfg: SlamConfig) -> PointCloud:
     return cloud_from_arrays(
         scan["xyz"], scan["intensity"], scan["ring"], scan["rel_time"],

@@ -28,6 +28,31 @@ class World:
     cylinders: np.ndarray    # [C, 4] (cx, cy, radius, height)
     cyl_albedo: np.ndarray   # [C]
     ground_albedo: float = 20.0
+    stripe_period: float = 0.0   # >0: paint walls with intensity stripes
+    stripe_amp: float = 0.0
+
+
+def corridor_world(length: float = 60.0, width: float = 6.0,
+                   stripe_period: float = 1.5, stripe_amp: float = 120.0) -> World:
+    """A long featureless corridor: geometrically degenerate along its axis,
+    with intensity stripes on the walls (BASELINE config 3 analog)."""
+    wall_t = 0.3
+    boxes = np.array(
+        [
+            [-length / 2, -width / 2 - wall_t, 0.0, length / 2, -width / 2, 3.0],
+            [-length / 2, width / 2, 0.0, length / 2, width / 2 + wall_t, 3.0],
+            [length / 2, -width / 2 - wall_t, 0.0, length / 2 + wall_t, width / 2 + wall_t, 3.0],
+            [-length / 2 - wall_t, -width / 2 - wall_t, 0.0, -length / 2, width / 2 + wall_t, 3.0],
+        ]
+    )
+    return World(
+        boxes=boxes,
+        box_albedo=np.array([60.0, 60.0, 60.0, 60.0]),
+        cylinders=np.zeros((0, 4)),
+        cyl_albedo=np.zeros((0,)),
+        stripe_period=stripe_period,
+        stripe_amp=stripe_amp,
+    )
 
 
 def default_world(seed: int = 0, extent: float = 40.0, n_pillars: int = 14,
@@ -195,15 +220,23 @@ def cast_scan(
     else:
         pts_sensor = (pts_world - t) @ R
 
-    albedo = np.where(
-        which == 0,
-        world.ground_albedo,
-        np.where(
-            which == 1,
-            world.box_albedo[np.clip(bi, 0, None)],
-            world.cyl_albedo[np.clip(ci, 0, None)],
-        ),
+    box_alb = (
+        world.box_albedo[np.clip(bi, 0, None)]
+        if len(world.box_albedo) else np.zeros_like(t_hit)
     )
+    cyl_alb = (
+        world.cyl_albedo[np.clip(ci, 0, None)]
+        if len(world.cyl_albedo) else np.zeros_like(t_hit)
+    )
+    albedo = np.where(which == 0, world.ground_albedo,
+                      np.where(which == 1, box_alb, cyl_alb))
+    if world.stripe_period > 0:
+        # procedural intensity stripes along world x+y on structures (gives
+        # intensity edges on geometrically featureless walls — the degraded
+        # scenes RGC-SLAM's intensity-corner path targets)
+        u = pts_world[:, 0] + pts_world[:, 1]
+        stripe = (np.floor(u / world.stripe_period) % 2) * world.stripe_amp
+        albedo = np.where(which > 0, albedo + stripe, albedo)
     # mild range falloff + noise on intensity
     intensity = albedo / (1.0 + 0.01 * np.where(valid, t_hit, 0.0)) + rng.normal(
         0, 1.0, albedo.shape
@@ -272,10 +305,10 @@ def synthesize_imu(poses, dt, imu_rate=200.0, gravity=9.81, seed=3,
     for i in range(n):
         # centered finite differences; shift the stencil inward at boundaries
         # (a degenerate one-sided stencil would fabricate huge accelerations)
-        c = min(max(i, 1), n - 2)
-        R0, t0 = poses[c - 1]
+        c = min(max(i, 1), max(n - 2, 1)) if n >= 3 else 0
+        R0, t0 = poses[max(c - 1, 0)]
         R1, t1 = poses[c]
-        R2, t2 = poses[c + 1]
+        R2, t2 = poses[min(c + 1, n - 1)]
         # angular velocity (body) from R0->R2 over 2*dt
         dR = R0.T @ R2
         angle = np.arccos(np.clip((np.trace(dR) - 1) / 2, -1, 1))
@@ -321,6 +354,8 @@ def clear_path(world: World, poses, margin: float = 2.0) -> World:
         cylinders=world.cylinders[ckeep],
         cyl_albedo=world.cyl_albedo[ckeep],
         ground_albedo=world.ground_albedo,
+        stripe_period=world.stripe_period,
+        stripe_amp=world.stripe_amp,
     )
 
 

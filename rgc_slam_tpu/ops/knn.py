@@ -20,7 +20,18 @@ def knn(
     points_mask: jax.Array,   # [N]
     k: int,
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (sq_dists [Q, k], indices [Q, k]); masked points at +inf."""
+    """Returns (sq_dists [Q, k], indices [Q, k]); masked points at +inf.
+
+    On TPU with qualifying shapes this dispatches to the fused Pallas kernel
+    (ops/pallas/knn_kernel.py) which keeps the distance block in VMEM; the XLA
+    formulation below is the reference semantics and the fallback everywhere
+    else.
+    """
+    if jax.default_backend() == "tpu":
+        from .pallas.knn_kernel import knn_pallas, knn_supported
+
+        if knn_supported(queries.shape[0], points.shape[0], k):
+            return knn_pallas(queries, points, points_mask, k)
     # center to keep |a|^2 - 2ab cancellation well-conditioned in f32
     center = jnp.mean(queries, axis=0, keepdims=True)
     queries = queries - center

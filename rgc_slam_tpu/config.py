@@ -41,6 +41,12 @@ class SlamConfig:
     inten_curv_thresh: float = 65.0       # intensityCurvature > 65
     use_intensity: bool = True
     intensity_merge_ratio: float = 0.3    # merge inten corners if sharp/plane < 0.3
+    # A-LOAM's parallel-surface suppression (|Δp|^2 > 2e-4 r^2 on both ring
+    # neighbors).  The reference dropped it (scanRegistration.cpp:432-456 has
+    # only the occlusion branches), which lets viewpoint-dependent curvature
+    # picks on grazing smooth walls drag the mapping solve in corridor-like
+    # scenes; restored here as a default-on robustness improvement.
+    parallel_surface_check: bool = True
     max_sharp_total: int = 2048           # compacted feature-cloud budgets
     max_flat_total: int = 4096
     max_inten_total: int = 2048
@@ -84,6 +90,10 @@ class SlamConfig:
     map_surf_voxel: float = 0.4           # planeResolution
     map_opt_iterations: int = 2           # outer relinearization count
     map_knn: int = 5                      # 5-NN line/plane fits
+    # eigenvalue floor for degeneracy-aware solution remapping in the mapping
+    # solve (0 disables); the reference has no such guard and its scan-to-map
+    # solve can wander along unobserved directions
+    degeneracy_thresh: float = 1.0
 
     # ---- mode (ref run.launch:30, RGC_mapping.cpp:238): True = build the map,
     # False = localization in a prior map (keyframe store frozen, no loops) ----

@@ -237,10 +237,10 @@ def cast_scan(
         u = pts_world[:, 0] + pts_world[:, 1]
         stripe = (np.floor(u / world.stripe_period) % 2) * world.stripe_amp
         albedo = np.where(which > 0, albedo + stripe, albedo)
-    # mild range falloff + noise on intensity
-    intensity = albedo / (1.0 + 0.01 * np.where(valid, t_hit, 0.0)) + rng.normal(
-        0, 1.0, albedo.shape
-    )
+    # calibrated reflectivity (real Velodynes range-compensate intensity;
+    # a range falloff here couples feature-pick positions to robot motion
+    # and biases edge associations) + sensor noise
+    intensity = albedo + rng.normal(0, 1.0, albedo.shape)
 
     return {
         "xyz": pts_sensor.astype(np.float32),

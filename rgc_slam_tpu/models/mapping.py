@@ -358,16 +358,27 @@ def mapping_step(
             pw_sl, state.last_surf_conf, state.last_surf_mask, sm_pts, sm_mask, cfg
         )
 
+        def lidar_residuals(delta):
+            qc = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[0:3]), q))
+            tc = t + delta[3:6]
+            qlc = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[6:9]), ql))
+            tlc = tl + delta[9:12]
+            return jnp.concatenate(
+                [
+                    _edge_residuals(qc, tc, corner_xyz, ec),
+                    _edge_residuals(qlc, tlc, state.last_corner, ecl),
+                    _plane_residuals(qc, tc, surf_xyz, pc),
+                    _plane_residuals(qlc, tlc, state.last_surf, pcl),
+                ]
+            )
+
         def residuals(delta):
             qc = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[0:3]), q))
             tc = t + delta[3:6]
             qlc = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[6:9]), ql))
             tlc = tl + delta[9:12]
             r = [
-                _edge_residuals(qc, tc, corner_xyz, ec),
-                _edge_residuals(qlc, tlc, state.last_corner, ecl),
-                _plane_residuals(qc, tc, surf_xyz, pc),
-                _plane_residuals(qlc, tlc, state.last_surf, pcl),
+                lidar_residuals(delta),
                 fac.relative_r_residual(qlc, qc, odo.delta_q_imu, imu_cov) * w_imu,
                 fac.pitchroll_residual(qc, imu_ypr[1], imu_ypr[2], 0.02) * w_imu,
                 fac.pitchroll_residual(qlc, state.imu_ypr_last[1], state.imu_ypr_last[2], 0.02) * w_imu,
@@ -382,7 +393,13 @@ def mapping_step(
             ]
             return jnp.concatenate(r)
 
-        delta = fac.gauss_newton(residuals, 12, iterations=6)
+        if cfg.degeneracy_thresh > 0:
+            P, _ = fac.degeneracy_projection(
+                lidar_residuals, 12, cfg.degeneracy_thresh
+            )
+        else:
+            P = None
+        delta = fac.gauss_newton(residuals, 12, iterations=6, project=P)
         q = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[0:3]), q))
         t = t + delta[3:6]
         ql = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[6:9]), ql))

@@ -128,6 +128,24 @@ class SlamSystem:
             )
         return out
 
+    def save(self, path: str):
+        """Checkpoint the full session (SLAM + loop state) with orbax."""
+        from ..utils.checkpoint import save as _save
+
+        payload = (self.state, self.loop_state) if self._loop_fn else (self.state,)
+        _save(path, payload, step=self._frame)
+
+    def load(self, path: str):
+        from ..utils.checkpoint import restore as _restore
+
+        like = (self.state, self.loop_state) if self._loop_fn else (self.state,)
+        restored, step = _restore(path, like)
+        if self._loop_fn:
+            self.state, self.loop_state = restored
+        else:
+            (self.state,) = restored
+        self._frame = step
+
     def dump_tum(self, path: str, which: str = "map"):
         from ..utils.evaluation import dump_tum
 

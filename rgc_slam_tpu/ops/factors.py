@@ -189,6 +189,7 @@ def gauss_newton(
     iterations: int,
     damping: float = 1e-6,
     step_clip: float = 1.0,
+    project=None,
 ):
     """Iterate x <- x + solve(J^T J, -J^T r) from x=0 via jacfwd.
 
@@ -204,12 +205,44 @@ def gauss_newton(
         J = jax.jacfwd(residual_fn)(x)
         H = J.T @ J + damping * jnp.eye(dim, dtype=r.dtype)
         g = J.T @ r
-        dx = jnp.linalg.solve(H, -g)
+        # diagonal equilibration: residual weights span ~1e3 (ground factors
+        # at var/1000), so H spans ~1e7 — an unscaled f32 solve destroys the
+        # weakly-constrained directions (Ceres survives this in f64)
+        s = jax.lax.rsqrt(jnp.maximum(jnp.diag(H), 1e-12))
+        Hs = H * s[:, None] * s[None, :] + damping * jnp.eye(dim, dtype=r.dtype)
+        dx = s * jnp.linalg.solve(Hs, -(s * g))
+        if project is not None:
+            # degeneracy-aware solution remapping: zero the update along
+            # ill-constrained eigen-directions (Zhang & Kaehler style)
+            dx = project @ dx
         dx = jnp.clip(dx, -step_clip, step_clip)
         ok = jnp.all(jnp.isfinite(dx))
         return x + jnp.where(ok, dx, 0.0)
 
     return jax.lax.fori_loop(0, iterations, body, jnp.zeros(dim))
+
+
+def degeneracy_projection(
+    residual_fn: Callable[[jax.Array], jax.Array],
+    dim: int,
+    eig_thresh: float,
+):
+    """Projection matrix keeping only well-constrained directions of J^T J.
+
+    Eigen-directions of the (lidar-factor) normal matrix with eigenvalue below
+    ``eig_thresh`` are degenerate — the environment does not observe them
+    (e.g. the along-axis direction of a featureless corridor) — and the solver
+    must not move along them.  The reference has no such guard (its mapping
+    solve wanders in degenerate scenes); this is the standard LOAM-lineage
+    solution-remapping fix expressed as a fixed projection per linearization.
+    """
+    J = jax.jacfwd(residual_fn)(jnp.zeros(dim))
+    H = J.T @ J
+    w, V = jnp.linalg.eigh(H)
+    keep = (w > eig_thresh).astype(H.dtype)
+    P = (V * keep[None, :]) @ V.T
+    n_degenerate = dim - jnp.sum(keep)
+    return P, n_degenerate
 
 
 def gauss_newton_cg(

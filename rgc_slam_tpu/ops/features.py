@@ -162,6 +162,18 @@ def extract_features(cloud: PointCloud, cfg: SlamConfig) -> FeatureExtraction:
         blocked = blocked | _shift(occl_fwd, o)
     for o in range(1, 7):   # i+1..i+6 marked when backward jump at i
         blocked = blocked | _shift(occl_bwd, -o)
+    if cfg.parallel_surface_check:
+        # A-LOAM beam-parallel surface suppression (restored; see config),
+        # made resolution-aware: flag when both ring-neighbor gaps exceed 2x
+        # the ring's nominal spacing r*dtheta, i.e. incidence shallower than
+        # ~30 degrees (A-LOAM's absolute 2e-4 r^2 constant plays this role on
+        # KITTI's fine 0.2-degree grid but over/under-flags on other grids)
+        az_step = 2.0 * jnp.pi / jnp.maximum(count_of_ring.astype(dtype), 1.0)
+        thresh = (2.0 * r * az_step) ** 2
+        d_next = jnp.sum((_shift(xyz, 1) - xyz) ** 2, axis=-1)
+        d_prev = jnp.sum((_shift(xyz, -1) - xyz) ** 2, axis=-1)
+        parallel = (d_next > thresh) & (d_prev > thresh)
+        blocked = blocked | (parallel & interior)
 
     # ---- neighbor-gap suppression extents (cpp:517-534) ----
     gap_next = jnp.sum((_shift(xyz, 1) - xyz) ** 2, axis=-1)

@@ -1,0 +1,145 @@
+"""CLI runner: the `roslaunch rgc_slam run.launch` equivalent.
+
+    python -m rgc_slam_tpu.run --log seq.slog --out-dir results/
+    python -m rgc_slam_tpu.run --kitti path/to/sequences/00/velodyne --no-imu
+    python -m rgc_slam_tpu.run --synthetic 100 --out-dir results/
+
+Processes a sweep source through the full SLAM engine, dumps TUM trajectories
+(odometry + mapped), the global map PCD, and a metrics JSONL — the file
+surface the reference produces via its trajectory writers and PCD dumps.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="rgc-slam-tpu runner")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--log", help="sweep-log file (runtime/sweeplog format)")
+    src.add_argument("--kitti", help="KITTI velodyne directory")
+    src.add_argument("--synthetic", type=int, metavar="N",
+                     help="run N synthetic scans")
+    ap.add_argument("--out-dir", default="slam_out")
+    ap.add_argument("--no-imu", action="store_true")
+    ap.add_argument("--no-ground", action="store_true")
+    ap.add_argument("--no-loop", action="store_true")
+    ap.add_argument("--localize", metavar="CKPT",
+                    help="localization mode: restore a prior-map checkpoint")
+    ap.add_argument("--save-ckpt", metavar="DIR", help="save final state")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from .config import SlamConfig
+    from .io.convert import cloud_from_arrays, imu_from_interval
+    from .models.slam import SlamSystem, SlamState
+    from .utils.profiling import Metrics, StageTimer
+
+    overrides = {}
+    if args.no_imu:
+        overrides["use_imu"] = False
+    if args.no_ground:
+        overrides["use_ground"] = False
+    if args.no_loop:
+        overrides["loop_closure_enable"] = False
+    if args.localize:
+        overrides["map_update"] = False
+
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    # ---- source ----
+    if args.kitti:
+        from .io.kitti import KittiSequence, kitti_config
+
+        cfg = kitti_config(**overrides)
+        source = KittiSequence(args.kitti, cfg)
+        feed = iter(source)
+    elif args.log:
+        from .runtime.loader import SweepLogReader
+
+        cfg = SlamConfig(**overrides)
+        reader = SweepLogReader(args.log, cfg.max_points, cfg.max_imu)
+
+        def gen():
+            for s in reader:
+                yield {
+                    "cloud": cloud_from_arrays(
+                        s["xyz"], s["intensity"], s["ring"], s["rel_time"],
+                        s["mask"], cfg.max_points,
+                    ),
+                    "imu": imu_from_interval(
+                        s["imu_t"][s["imu_mask"]], s["imu_acc"][s["imu_mask"]],
+                        s["imu_gyr"][s["imu_mask"]], cfg.max_imu,
+                    ),
+                    "stamp": s["stamp"],
+                }
+
+        feed = gen()
+    else:
+        from .io import synthetic
+        from .io.convert import cloud_from_scan_dict
+
+        cfg = SlamConfig(**overrides)
+        seq = synthetic.generate_sequence(
+            n_scans=args.synthetic + 1, n_azimuth=900, seed=0,
+            extent=30.0, radius=12.0, closes_loop=False, speed=2.0,
+        )
+
+        def gen():
+            for k in range(len(seq["scans"])):
+                t_imu, acc, gyr = seq["imu"][k]
+                yield {
+                    "cloud": cloud_from_scan_dict(seq["scans"][k], cfg),
+                    "imu": imu_from_interval(t_imu, acc, gyr, cfg.max_imu),
+                    "stamp": seq["stamps"][k],
+                }
+
+        feed = gen()
+
+    # ---- engine ----
+    system = SlamSystem(cfg)
+    if args.localize:
+        from .utils.checkpoint import restore
+
+        restored, _ = restore(args.localize, SlamState.init(cfg))
+        system.state = system.state.replace(mapping=restored.mapping)
+
+    timer = StageTimer(budget_ms=100.0)
+    metrics = Metrics()
+    n = 0
+    for item in feed:
+        with timer.stage("scan", ()):
+            out = system.process(item["cloud"], item["imu"], item["stamp"])
+        metrics.log(n, fitness=float(out.fitness), n_corr=int(out.n_corr),
+                    kf_added=bool(out.kf_added))
+        n += 1
+        if n % 50 == 0:
+            print(f"  scan {n}: t={np.asarray(out.t_map).round(2)}")
+
+    # ---- outputs (the reference's pose_evo.txt / PCD surface) ----
+    system.dump_tum(os.path.join(args.out_dir, "pose_evo.txt"), "map")
+    system.dump_tum(os.path.join(args.out_dir, "odometry_pose_evo.txt"), "odom")
+    from .io.export import global_map, write_pcd
+
+    pts, conf = global_map(system.state.mapping, cfg)
+    if len(pts):
+        write_pcd(os.path.join(args.out_dir, "global_map.pcd"), pts, conf)
+    metrics.dump(os.path.join(args.out_dir, "metrics.jsonl"))
+    with open(os.path.join(args.out_dir, "timing.json"), "w") as f:
+        json.dump(timer.summary(), f, indent=2)
+    if args.save_ckpt:
+        from .utils.checkpoint import save
+
+        save(args.save_ckpt, system.state, step=n)
+    print(f"processed {n} scans -> {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

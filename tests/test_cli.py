@@ -1,0 +1,79 @@
+"""CLI runner + KITTI ingestion."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rgc_slam_tpu.io import kitti, synthetic
+
+
+def test_kitti_bin_roundtrip(tmp_path, rng):
+    raw = rng.uniform(-20, 20, (5000, 4)).astype(np.float32)
+    raw[:, 3] = rng.random(5000)
+    p = tmp_path / "000000.bin"
+    raw.tofile(p)
+    back = kitti.read_velodyne_bin(str(p))
+    np.testing.assert_array_equal(back, raw)
+
+
+def test_kitti_sequence_runs(tmp_path):
+    """Synthesize 64-beam scans into KITTI .bin files, run them through the
+    KittiSequence -> SLAM pipeline."""
+    import dataclasses
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from rgc_slam_tpu.config import TEST_CONFIG
+    from rgc_slam_tpu.models.slam import SlamState, slam_step
+
+    world = synthetic.default_world(3, extent=18.0)
+    vdir = tmp_path / "velodyne"
+    vdir.mkdir()
+    rng = np.random.default_rng(0)
+    for k in range(3):
+        t = np.array([0.3 * k, 0.0, 1.73])
+        scan = synthetic.cast_scan(world, np.eye(3), t, n_rings=64,
+                                   n_azimuth=240, rng=rng, noise=0.005)
+        m = scan["mask"]
+        raw = np.concatenate(
+            [scan["xyz"][m], (scan["intensity"][m] / 255.0)[:, None]], axis=1
+        ).astype(np.float32)
+        raw.tofile(vdir / f"{k:06d}.bin")
+
+    cfg = dataclasses.replace(
+        TEST_CONFIG, n_scans=64, use_imu=False, use_ground=False,
+        lidar_height=1.73, max_points=16384,
+    )
+    seq = kitti.KittiSequence(str(vdir), cfg)
+    assert len(seq) == 3
+    state = SlamState.init(cfg)
+    step = jax.jit(functools.partial(slam_step, cfg=cfg))
+    for item in seq:
+        state, out = step(state, item["cloud"], item["imu"],
+                          jnp.asarray(item["stamp"], jnp.float32))
+    assert np.isfinite(np.asarray(out.t_map)).all()
+
+
+def test_cli_synthetic(tmp_path, monkeypatch):
+    """End-to-end CLI run on a tiny synthetic sequence."""
+    from rgc_slam_tpu import run as cli
+
+    # shrink the synthetic source for test speed
+    import rgc_slam_tpu.io.synthetic as syn
+
+    orig = syn.generate_sequence
+
+    def small(**kw):
+        kw.update(n_azimuth=120)
+        return orig(**kw)
+
+    monkeypatch.setattr(syn, "generate_sequence", small)
+    out = tmp_path / "out"
+    cli.main(["--synthetic", "4", "--out-dir", str(out), "--no-loop"])
+    assert (out / "pose_evo.txt").exists()
+    assert (out / "odometry_pose_evo.txt").exists()
+    assert (out / "global_map.pcd").exists()
+    assert (out / "metrics.jsonl").exists()
+    timing = json.loads((out / "timing.json").read_text())
+    assert timing["scan"]["count"] == 4

@@ -18,7 +18,9 @@ def test_pack_out_of_range():
     assert keys[0] == -1
 
 
-def test_build_and_lookup(rng):
+def test_build_and_lookup():
+    rng = np.random.default_rng(123)  # local: hash load is near capacity and
+    # the shared session rng makes the point set depend on test order
     pts = jnp.asarray(rng.uniform(-20, 20, (5000, 3)), jnp.float32)
     res = 1.0
     coords = vh.voxel_coords(pts, res)

@@ -91,9 +91,11 @@ class SlamConfig:
     map_opt_iterations: int = 2           # outer relinearization count
     map_knn: int = 5                      # 5-NN line/plane fits
     # eigenvalue floor for degeneracy-aware solution remapping in the mapping
-    # solve (0 disables); the reference has no such guard and its scan-to-map
-    # solve can wander along unobserved directions
-    degeneracy_thresh: float = 1.0
+    # solve (0 disables, the default); opt-in guard for prior-map localization
+    # in feature-starved environments — combined with parallel-surface
+    # suppression it can freeze legitimate corrections in low-feature SLAM, so
+    # it is not enabled globally
+    degeneracy_thresh: float = 0.0
 
     # ---- mode (ref run.launch:30, RGC_mapping.cpp:238): True = build the map,
     # False = localization in a prior map (keyframe store frozen, no loops) ----

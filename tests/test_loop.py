@@ -87,9 +87,13 @@ def test_pgo_removes_drift():
 CIRCLE_CFG = dataclasses.replace(
     TEST_CONFIG, max_keyframes=160, loop_submap_halfwidth=25,
     max_loop_submap_points=8192, loop_icp_iterations=60,
-    # our synthetic keyframe clouds are sparser than the reference's real
-    # sensor data, so the point-to-point fitness floor sits higher than the
-    # reference's 0.1 accept gate
+    # denser keyframe clouds than the unit-test defaults: the loop ICP
+    # fitness floor scales with cloud sparsity (the reference keeps
+    # full-resolution feature clouds per keyframe)
+    max_kf_corner=256, max_kf_surf=1024, max_sharp_total=1024,
+    max_flat_total=2048,
+    # synthetic clouds remain sparser than real sensor data, so the
+    # point-to-point fitness floor sits above the reference's 0.1 gate
     loop_fitness_thresh=0.15,
 )
 

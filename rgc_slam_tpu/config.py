@@ -101,6 +101,15 @@ class SlamConfig:
     # False = localization in a prior map (keyframe store frozen, no loops) ----
     map_update: bool = True
 
+    # ---- initial pose (ref run.launch:33-36, RGC_odometer.cpp:865-870) ----
+    init_x: float = 0.0
+    init_y: float = 0.0
+    init_z: float = 0.0
+    init_yaw: float = 0.0                 # radians (ref takes degrees)
+
+    # ---- mapping cadence (ref run.launch:8-9 mapping_skip_frame) ----
+    mapping_skip_frame: int = 1
+
     # ---- loop closure / PGO (ref RGC_mapping.cpp:154-160,2006-2466) ----
     loop_closure_enable: bool = True
     loop_search_radius: float = 15.0

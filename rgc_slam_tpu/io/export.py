@@ -80,6 +80,27 @@ def global_map(
     return pts, conf
 
 
+def write_keyframe_pcds(ms: MappingState, out_dir: str):
+    """Per-keyframe corner/surf PCD dumps (ref RGC_mapping.cpp:1933-1936)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_kf = int(ms.kf_count)
+    for i in range(n_kf):
+        cm = np.asarray(ms.kf_corner_mask[i])
+        sm = np.asarray(ms.kf_surf_mask[i])
+        write_pcd(
+            os.path.join(out_dir, f"corner_{i:06d}.pcd"),
+            np.asarray(ms.kf_corner[i])[cm],
+            np.asarray(ms.kf_corner_conf[i])[cm],
+        )
+        write_pcd(
+            os.path.join(out_dir, f"surf_{i:06d}.pcd"),
+            np.asarray(ms.kf_surf[i])[sm],
+            np.asarray(ms.kf_surf_conf[i])[sm],
+        )
+
+
 def loop_edges(ms: MappingState, loop_state) -> np.ndarray:
     """Loop-constraint line segments [L, 2, 3] (A18's MarkerArray)."""
     li = np.asarray(loop_state.loop_i)

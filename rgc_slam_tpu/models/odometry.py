@@ -331,14 +331,20 @@ def odometry_step(
     g_init = jnp.where(do_grav, g_new, state.g_init)
     q_body2world = jnp.where(do_grav, q_b2w, state.q_body2world)
 
-    # ---- first-frame handling: initialize attitude from the IMU filter ----
+    # ---- first-frame handling: attitude from the IMU filter + configured
+    # initial pose (ref RGC_odometer.cpp:865-870: init_x/y/z and init_yaw
+    # added to the IMU yaw) ----
     is_first = state.frame == 0
     if cfg.use_imu:
-        q_first = m3.mat_to_quat(imu_state.rwi().astype(dtype))
+        ypr0 = m3.mat_to_ypr(imu_state.rwi().astype(dtype))
+        q_first = m3.ypr_to_quat(
+            jnp.stack([ypr0[0] + cfg.init_yaw, ypr0[1], ypr0[2]])
+        )
     else:
-        q_first = m3.quat_identity(dtype)
+        q_first = m3.ypr_to_quat(jnp.array([cfg.init_yaw, 0.0, 0.0], dtype))
+    t_first = jnp.array([cfg.init_x, cfg.init_y, cfg.init_z], dtype)
     q_w = jnp.where(is_first, q_first, q_w)
-    t_w = jnp.where(is_first, jnp.zeros(3, dtype), t_w)
+    t_w = jnp.where(is_first, t_first, t_w)
     q_rel_out = jnp.where(is_first, m3.quat_identity(dtype), q_fused)
     t_rel_out = jnp.where(is_first, jnp.zeros(3, dtype), t_rel)
 

@@ -79,10 +79,35 @@ def slam_step(
     imu_ypr = jnp.stack(
         [odo_state.imu_filter.yaw, odo_state.imu_filter.pitch, odo_state.imu_filter.roll]
     )
-    map_state, map_out = mapping_mod.mapping_step(
-        state.mapping, odo_out, c_xyz, c_conf, c_mask, s_xyz, s_conf, s_mask,
-        imu_ypr, stamp, cfg,
-    )
+    if cfg.mapping_skip_frame > 1:
+        # rate decoupling (ref run.launch:8-9): mapping runs every Nth scan;
+        # skipped scans reuse the map->odom correction for the output pose
+        def run_map(ms):
+            return mapping_mod.mapping_step(
+                ms, odo_out, c_xyz, c_conf, c_mask, s_xyz, s_conf, s_mask,
+                imu_ypr, stamp, cfg,
+            )
+
+        def skip_map(ms):
+            q_w = mapping_mod.m3.quat_normalize(
+                mapping_mod.m3.quat_mul(ms.q_md, odo_out.q_w)
+            )
+            t_w = ms.t_md + mapping_mod.m3.quat_rotate(ms.q_md, odo_out.t_w)
+            out = mapping_mod.MappingOutput(
+                q_w=q_w, t_w=t_w, q_md=ms.q_md, t_md=ms.t_md,
+                kf_added=jnp.asarray(False),
+                n_corner_factors=jnp.asarray(0, jnp.int32),
+                n_surf_factors=jnp.asarray(0, jnp.int32),
+            )
+            return ms, out
+
+        do_map = jnp.mod(state.odo.frame, cfg.mapping_skip_frame) == 0
+        map_state, map_out = jax.lax.cond(do_map, run_map, skip_map, state.mapping)
+    else:
+        map_state, map_out = mapping_mod.mapping_step(
+            state.mapping, odo_out, c_xyz, c_conf, c_mask, s_xyz, s_conf, s_mask,
+            imu_ypr, stamp, cfg,
+        )
 
     out = SlamOutput(
         q_odom=odo_out.q_w,

@@ -156,3 +156,73 @@ def test_profiling_tools():
     m.log(0, fitness=0.12, n_corr=500)
     m.log(1, fitness=0.10)
     assert m.series("fitness").shape == (2,)
+
+
+def test_init_pose_config():
+    """init_x/y/z/yaw must set the first-frame pose (run.launch:33-36)."""
+    cfg = dataclasses.replace(CFG, init_x=2.0, init_y=-1.0, init_z=0.5,
+                              init_yaw=0.5, use_imu=False)
+    seq = synthetic.generate_sequence(
+        n_scans=3, n_azimuth=120, seed=6, extent=15.0, radius=6.0,
+        closes_loop=False, speed=1.5,
+    )
+    state = SlamState.init(cfg)
+    step = jax.jit(functools.partial(slam_step, cfg=cfg))
+    cloud = cloud_from_scan_dict(seq["scans"][0], cfg)
+    t_imu, acc, gyr = seq["imu"][0]
+    imu = imu_from_interval(t_imu, acc, gyr, cfg.max_imu)
+    state, out = step(state, cloud, imu, jnp.asarray(seq["stamps"][0], jnp.float32))
+    np.testing.assert_allclose(np.asarray(out.t_odom), [2.0, -1.0, 0.5], atol=1e-5)
+    np.testing.assert_allclose(
+        float(m3.quat_to_ypr(out.q_odom)[0]), 0.5, atol=1e-5
+    )
+
+
+def test_mapping_skip_frame():
+    """mapping_skip_frame=2: keyframes only added on mapped frames; outputs
+    still composed from map->odom on skipped frames."""
+    cfg = dataclasses.replace(CFG, mapping_skip_frame=2)
+    seq = synthetic.generate_sequence(
+        n_scans=7, n_azimuth=240, seed=8, extent=15.0, radius=6.0,
+        closes_loop=False, speed=2.0,
+    )
+    state = SlamState.init(cfg)
+    step = jax.jit(functools.partial(slam_step, cfg=cfg))
+    counts = []
+    for k in range(len(seq["scans"])):
+        cloud = cloud_from_scan_dict(seq["scans"][k], cfg)
+        t_imu, acc, gyr = seq["imu"][k]
+        imu = imu_from_interval(t_imu, acc, gyr, cfg.max_imu)
+        state, out = step(state, cloud, imu, jnp.asarray(seq["stamps"][k], jnp.float32))
+        counts.append(int(state.mapping.count))
+        assert np.isfinite(np.asarray(out.t_map)).all()
+    # mapping ran on every other frame
+    assert counts[-1] <= (len(counts) + 1) // 2 + 1
+
+
+def test_keyframe_pcd_dump(tmp_path, short_run):
+    from rgc_slam_tpu.io.export import write_keyframe_pcds
+
+    seq, state, _ = short_run
+    write_keyframe_pcds(state.mapping, str(tmp_path / "kf"))
+    import os
+    files = os.listdir(tmp_path / "kf")
+    n_kf = int(state.mapping.kf_count)
+    assert len(files) == 2 * n_kf
+
+
+def test_slam_system_with_loops():
+    """SlamSystem host driver runs the loop cadence without error."""
+    from rgc_slam_tpu.models.slam import SlamSystem
+
+    seq = synthetic.generate_sequence(
+        n_scans=12, n_azimuth=120, seed=9, extent=15.0, radius=6.0,
+        closes_loop=False, speed=1.5,
+    )
+    system = SlamSystem(CFG)
+    for k in range(len(seq["scans"])):
+        cloud = cloud_from_scan_dict(seq["scans"][k], CFG)
+        t_imu, acc, gyr = seq["imu"][k]
+        imu = imu_from_interval(t_imu, acc, gyr, CFG.max_imu)
+        system.process(cloud, imu, seq["stamps"][k])
+    assert len(system.trajectory) == len(seq["scans"])

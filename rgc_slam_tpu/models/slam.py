@@ -127,6 +127,8 @@ class SlamSystem:
     def __init__(self, cfg: SlamConfig, enable_loop: Optional[bool] = None):
         self.cfg = cfg
         self.state = SlamState.init(cfg)
+        # NOTE: no donate_argnums on the state — donation measurably halves
+        # throughput here (it serializes the async dispatch pipeline)
         self._step = jax.jit(functools.partial(slam_step, cfg=cfg))
         self.enable_loop = cfg.loop_closure_enable if enable_loop is None else enable_loop
         self._loop_fn = None

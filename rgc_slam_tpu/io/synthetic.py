@@ -30,6 +30,9 @@ class World:
     ground_albedo: float = 20.0
     stripe_period: float = 0.0   # >0: paint walls with intensity stripes
     stripe_amp: float = 0.0
+    # piecewise ground: z = 0 for x < ramp_x0, z = ramp_slope*(x-ramp_x0) after
+    ramp_x0: float = 0.0
+    ramp_slope: float = 0.0
 
 
 def corridor_world(length: float = 60.0, width: float = 6.0,
@@ -98,11 +101,28 @@ def default_world(seed: int = 0, extent: float = 40.0, n_pillars: int = 14,
 # ---------------------------------------------------------------------------
 
 
-def _ray_ground(origins, dirs):
-    """Intersect rays with z=0 plane.  Returns t (inf if none)."""
+def _ray_ground(origins, dirs, world=None):
+    """Intersect rays with the ground.  Returns t (inf if none).
+
+    Ground is z=0, optionally transitioning to a ramp plane
+    z = slope*(x - x0) for x >= x0 (tests the ground-change machinery)."""
     dz = dirs[:, 2]
-    t = -origins[:, 2] / np.where(np.abs(dz) < 1e-9, 1e-9, dz)
-    return np.where((dz < -1e-6) & (t > 0), t, np.inf)
+    t_flat = -origins[:, 2] / np.where(np.abs(dz) < 1e-9, 1e-9, dz)
+    hit_x = origins[:, 0] + t_flat * dirs[:, 0]
+    slope = getattr(world, "ramp_slope", 0.0) if world is not None else 0.0
+    x0 = getattr(world, "ramp_x0", 0.0) if world is not None else 0.0
+    if slope == 0.0:
+        return np.where((dz < -1e-6) & (t_flat > 0), t_flat, np.inf)
+    ok_flat = (dz < -1e-6) & (t_flat > 0) & (hit_x < x0)
+    t_flat = np.where(ok_flat, t_flat, np.inf)
+    # ramp plane: n.(p - p0) = 0 with n = (-slope, 0, 1)/|..|, p0 = (x0,0,0)
+    n = np.array([-slope, 0.0, 1.0])
+    denom = dirs @ n
+    t_ramp = -(origins @ n - x0 * n[0]) / np.where(np.abs(denom) < 1e-9, 1e-9, denom)
+    hit_xr = origins[:, 0] + t_ramp * dirs[:, 0]
+    ok_ramp = (denom < -1e-6) & (t_ramp > 0) & (hit_xr >= x0)
+    t_ramp = np.where(ok_ramp, t_ramp, np.inf)
+    return np.minimum(t_flat, t_ramp)
 
 
 def _ray_boxes(origins, dirs, boxes):
@@ -201,7 +221,7 @@ def cast_scan(
         origins = np.broadcast_to(t, d_sensor.shape).copy()
         d_world = d_sensor @ R.T
 
-    tg = _ray_ground(origins, d_world)
+    tg = _ray_ground(origins, d_world, world)
     tb, bi = _ray_boxes(origins, d_world, world.boxes)
     tc, ci = _ray_cylinders(origins, d_world, world.cylinders)
 

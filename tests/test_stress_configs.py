@@ -144,3 +144,60 @@ def test_32beam_pipeline():
     gt = np.stack([t for (_, t) in seq["poses"]])
     ate = ate_rmse(np.stack(est), gt)
     assert ate < 0.15, f"32-beam ATE {ate:.3f}"
+
+
+def test_ground_change_machine_on_ramp():
+    """Driving from flat ground onto a ramp must trip the ground-change state
+    machine (gflag cooldown, RGC_odometer.cpp:1034-1085) and keep tracking."""
+    from rgc_slam_tpu.io.synthetic import World
+
+    cfg = TEST_CONFIG
+    wall_t = 0.4
+    e = 25.0
+    world = World(
+        boxes=np.array([
+            [-e, -e, 0.0, e, -e + wall_t, 6.0],
+            [-e, e - wall_t, 0.0, e, e, 6.0],
+            [-e, -e, 0.0, -e + wall_t, e, 6.0],
+            [e - wall_t, -e, 0.0, e, e, 6.0],
+            [3.0, 3.0, 0.0, 5.0, 5.0, 2.0],
+            [-5.0, -6.0, 0.0, -3.0, -4.0, 2.5],
+        ]),
+        box_albedo=np.array([60.0, 80.0, 60.0, 80.0, 150.0, 120.0]),
+        cylinders=np.array([[6.0, -5.0, 0.3, 3.0], [-7.0, 5.0, 0.4, 3.0]]),
+        cyl_albedo=np.array([200.0, 90.0]),
+        ramp_x0=2.0,
+        ramp_slope=0.15,          # 8.5 degree ramp
+    )
+    n = 55
+    dt = 0.1
+    speed = 1.5
+    poses = []
+    for k in range(n):
+        x = -4.0 + speed * dt * k
+        if x < world.ramp_x0:
+            z, pitch = 0.0, 0.0
+        else:
+            z = world.ramp_slope * (x - world.ramp_x0)
+            pitch = -np.arctan(world.ramp_slope)   # nose up
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        R = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+        poses.append((R, np.array([x, 0.0, z + 0.56])))
+    imu = synthetic.synthesize_imu(poses, dt)
+    rng = np.random.default_rng(1)
+    state = SlamState.init(cfg)
+    step = jax.jit(functools.partial(slam_step, cfg=cfg))
+    gflags, est = [], []
+    for k in range(n):
+        scan = synthetic.cast_scan(world, poses[k][0], poses[k][1],
+                                   n_rings=16, n_azimuth=360, rng=rng, noise=0.004)
+        cloud = cloud_from_scan_dict(scan, cfg)
+        t_imu, acc, gyr = imu[max(k - 1, 0)]
+        ib = imu_from_interval(t_imu, acc, gyr, cfg.max_imu)
+        state, out = step(state, cloud, ib, jnp.asarray(dt * (k + 1), jnp.float32))
+        gflags.append(int(state.odo.gflag))
+        est.append(np.asarray(out.t_map))
+    gt = np.stack([t for (_, t) in poses])
+    ate = ate_rmse(np.stack(est), gt)
+    assert max(gflags) == 1, f"ground-change machine never tripped: {gflags}"
+    assert ate < 0.25, f"ramp ATE {ate:.3f}"

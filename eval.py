@@ -1,0 +1,210 @@
+"""Accuracy/throughput evaluation across the BASELINE.json configs.
+
+Produces EVAL.md + eval_results.json.  The reference's four rosbag sequences
+are not redistributable, so each config runs on the synthetic ground-truth
+world that matches its stress profile (SURVEY §4's evaluation strategy):
+
+  1. 16-ch + IMU, odometry only              (bag-replay odometry analog)
+  2. 16-ch full SLAM + ground + loop closure (closed course)
+  3. degraded corridor (geometry-poor, intensity-textured)
+  4. KITTI-style 64-beam, lidar-only
+  5. 64-way vmapped fleet (throughput + cross-robot consistency)
+
+Usage: python eval.py [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import functools
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rgc_slam_tpu.config import SlamConfig
+from rgc_slam_tpu.io import synthetic
+from rgc_slam_tpu.io.convert import cloud_from_scan_dict, imu_from_interval
+from rgc_slam_tpu.models import loop as loop_mod
+from rgc_slam_tpu.models.slam import SlamState, slam_step
+from rgc_slam_tpu.utils.evaluation import ate_rmse, rpe_rmse
+
+BASE = SlamConfig(
+    max_points=16384, max_source_points=8192, max_voxels=16384,
+    max_keyframes=512, max_kf_corner=512, max_kf_surf=2048,
+    max_map_points=16384, max_loop_submap_points=8192,
+    loop_icp_iterations=60, loop_fitness_thresh=0.15,
+)
+
+
+def run_sequence(cfg, seq, loop_every=0):
+    state = SlamState.init(cfg)
+    lstate = loop_mod.LoopState.init(cfg)
+    step = jax.jit(functools.partial(slam_step, cfg=cfg))
+    loop_step = jax.jit(functools.partial(loop_mod.loop_closure_step, cfg=cfg))
+    est_map, est_odo = [], []
+    n_loops = 0
+    # pre-stage device inputs: this harness measures the ENGINE; bench.py and
+    # the native sweeplog prefetch own the host-feed story
+    staged = []
+    for k in range(len(seq["scans"])):
+        cloud = cloud_from_scan_dict(seq["scans"][k], cfg)
+        t_imu, acc, gyr = seq["imu"][k]
+        imu = imu_from_interval(t_imu, acc, gyr, cfg.max_imu)
+        staged.append(jax.device_put(
+            (cloud, imu, jnp.asarray(seq["stamps"][k], jnp.float32))
+        ))
+    t0 = time.perf_counter()
+    for k, (cloud, imu, stamp) in enumerate(staged):
+        state, out = step(state, cloud, imu, stamp)
+        est_map.append(np.asarray(out.t_map))
+        est_odo.append(np.asarray(out.t_odom))
+        if loop_every and (k + 1) % loop_every == 0:
+            state, lstate, info = loop_step(state, lstate)
+    wall = time.perf_counter() - t0
+    n_loops = int(lstate.loop_count)
+    gt = np.stack([t for (_, t) in seq["poses"]])
+    est_map = np.stack(est_map)
+    est_odo = np.stack(est_odo)
+    path_len = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
+    return {
+        "n_scans": len(seq["scans"]),
+        "path_m": round(path_len, 1),
+        "ate_map_m": round(ate_rmse(est_map, gt), 4),
+        "ate_odom_m": round(ate_rmse(est_odo, gt), 4),
+        "rpe_map_m": round(rpe_rmse(est_map, gt), 4),
+        "n_loops": n_loops,
+        "wall_s": round(wall, 1),
+        "scans_per_sec": round(len(seq["scans"]) / wall, 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+    q = args.quick
+    results = {}
+
+    # ---- config 1: odometry-only (16-ch + IMU + ground) ----
+    seq1 = synthetic.generate_sequence(
+        n_scans=60 if q else 200, n_azimuth=900, seed=21, extent=30.0,
+        radius=12.0, noise=0.01, closes_loop=False, speed=2.0,
+    )
+    cfg1 = dataclasses.replace(BASE, loop_closure_enable=False)
+    results["1_odometry_16ch_imu"] = run_sequence(cfg1, seq1)
+
+    # ---- config 2: full SLAM with ground + loop closure (closed course) ----
+    seq2 = synthetic.generate_sequence(
+        n_scans=120 if q else 360, n_azimuth=900, seed=22, extent=26.0,
+        radius=10.0, noise=0.01, closes_loop=True, laps=1.3,
+    )
+    results["2_full_slam_loop"] = run_sequence(BASE, seq2, loop_every=5)
+
+    # ---- config 3: degraded corridor ----
+    # 60 m corridor, 26 m drive: the along-axis direction is observable only
+    # through the end walls + intensity stripes.  (Mid-span of an arbitrarily
+    # long featureless corridor is unobservable for ANY scan matcher — the
+    # reference drifts there identically; we evaluate the observable regime.)
+    world3 = synthetic.corridor_world(length=60.0, width=8.0)
+    n3 = 40 if q else 65
+    poses3 = []
+    for k in range(n3):
+        x = -16.0 + 0.4 * k
+        poses3.append((np.eye(3), np.array([x, 0.0, 0.56])))
+    imu3 = synthetic.synthesize_imu(poses3, 0.1)
+    rng3 = np.random.default_rng(23)
+    seq3 = {
+        "scans": [
+            synthetic.cast_scan(world3, R, t, n_rings=16, n_azimuth=900,
+                                rng=rng3, noise=0.01)
+            for (R, t) in poses3
+        ],
+        "imu": [imu3[max(k - 1, 0)] for k in range(n3)],
+        "stamps": [0.1 * (k + 1) for k in range(n3)],
+        "poses": poses3,
+    }
+    results["3_degraded_corridor"] = run_sequence(BASE, seq3)
+
+    # ---- config 4: KITTI-style 64-beam, lidar only ----
+    seq4 = synthetic.generate_sequence(
+        n_scans=30 if q else 80, n_rings=64, n_azimuth=900, seed=24,
+        extent=30.0, radius=12.0, noise=0.01, closes_loop=False, speed=2.5,
+    )
+    cfg4 = dataclasses.replace(
+        BASE, n_scans=64, use_imu=False, use_ground=False,
+        loop_closure_enable=False, max_points=65536,
+    )
+    results["4_kitti64_lidar_only"] = run_sequence(cfg4, seq4)
+
+    # ---- config 5: 64-way fleet consistency (throughput: see bench.py) ----
+    from bench import FLEET_CONFIG
+    from rgc_slam_tpu.parallel import fleet
+
+    B = 64
+    cfgF = FLEET_CONFIG
+    states = fleet.fleet_init(cfgF, B)
+    fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfgF))
+    for k in range(4):
+        cloud = cloud_from_scan_dict(seq1["scans"][k], cfgF)
+        t_imu, acc, gyr = seq1["imu"][k]
+        imu = imu_from_interval(t_imu, acc, gyr, cfgF.max_imu)
+        batched = jax.tree.map(
+            lambda a: jnp.broadcast_to(a, (B,) + a.shape), (cloud, imu)
+        )
+        stamps = jnp.broadcast_to(jnp.asarray(seq1["stamps"][k], jnp.float32), (B,))
+        states, outs = fstep(states, batched[0], batched[1], stamps)
+    jax.block_until_ready(states)
+    tm = np.asarray(outs.t_map)
+    results["5_fleet_64"] = {
+        "robots": B,
+        "cross_robot_spread_m": float(np.abs(tm - tm[:1]).max()),
+        "note": "throughput measured by bench.py (~160-200k scans/sec/chip)",
+    }
+
+    with open("eval_results.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+    lines = [
+        "# EVAL — BASELINE config evaluation (synthetic ground-truth worlds)",
+        "",
+        f"Backend: `{jax.default_backend()}`; full pipeline per scan "
+        "(features → odometry → mapping, loop closure at 2 Hz cadence where "
+        "enabled).  ATE/RPE after SE(3) alignment (evo convention).",
+        "",
+        "| Config | scans | path (m) | ATE map (m) | ATE odom (m) | RPE (m) | loops |",
+        "|---|---|---|---|---|---|---|",
+    ]
+    for name in ("1_odometry_16ch_imu", "2_full_slam_loop", "3_degraded_corridor",
+                 "4_kitti64_lidar_only"):
+        r = results[name]
+        lines.append(
+            f"| {name} | {r['n_scans']} | {r['path_m']} | {r['ate_map_m']} | "
+            f"{r['ate_odom_m']} | {r['rpe_map_m']} | {r['n_loops']} |"
+        )
+    r5 = results["5_fleet_64"]
+    lines += [
+        "",
+        f"Fleet (config 5): {r5['robots']} robots per chip, cross-robot result "
+        f"spread {r5['cross_robot_spread_m']:.2e} m (identical inputs ⇒ ~0); "
+        "chip throughput is bench.py's metric (~160-200k scans/sec/chip).",
+        "",
+        "Timing note: this loop syncs per-scan results to the host through "
+        "the TPU tunnel (hundreds of ms RPC latency each), so wall times here "
+        "do not reflect engine speed — bench.py measures that "
+        "(~0.3 ms/scan single stream, ~160-200k scans/sec/chip fleet).",
+        "",
+        "Config 3 note: the corridor is evaluated in its observable regime "
+        "(end walls in range).  Mid-span of an arbitrarily long featureless "
+        "corridor is unobservable for any scan matcher; the reference "
+        "dead-reckons and drifts there identically.",
+    ]
+    with open("EVAL.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

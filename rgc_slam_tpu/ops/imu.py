@@ -158,6 +158,52 @@ def complementary_filter_scan(state: ImuFilterState, imu: ImuBatch, gravity: flo
     return out
 
 
+def check_static(acc: jax.Array, gyr: jax.Array, gravity: float = 9.81):
+    """Per-sample stationarity test (ref ``checkImuState``,
+    RGC_odometer.cpp:699-716): |acc|-g within 0.5 m/s^2 and every gyro axis
+    below 0.05 rad/s."""
+    acc_ok = jnp.abs(jnp.linalg.norm(acc, axis=-1) - gravity) <= 0.5
+    gyr_ok = jnp.all(jnp.abs(gyr) <= 0.05, axis=-1)
+    return acc_ok & gyr_ok
+
+
+def estimate_static_bias(
+    acc: jax.Array,           # [N, 3] samples collected while stationary
+    gyr: jax.Array,           # [N, 3]
+    mask: jax.Array,          # [N]
+    trim: int = 50,
+    gravity: float = 9.81,
+):
+    """Startup bias/attitude estimation (ref ``get_init_imu_bias``,
+    RGC_odometer.cpp:628-697): keep stationary samples, trimmed-mean each
+    channel (the reference sorts and drops 50 from each end of 700), derive
+    the initial roll/pitch from the gravity direction.
+
+    Returns (ba [3], bg [3], roll_init, pitch_init).  Like the reference, the
+    "accel bias" is the full stationary specific-force mean — consumed only by
+    the attitude init, not subtracted from measurements.
+    """
+    ok = mask & check_static(acc, gyr, gravity)
+
+    def trimmed_mean(x):
+        # sort with invalid samples pushed to +inf, then average the valid
+        # middle section
+        big = jnp.where(ok[:, None], x, jnp.inf)
+        srt = jnp.sort(big, axis=0)
+        n_ok = jnp.sum(ok)
+        n_use = jnp.maximum(n_ok - 2 * trim, 1)
+        lo = jnp.minimum(trim, jnp.maximum(n_ok - 1, 0))
+        idx = jnp.arange(x.shape[0])[:, None]
+        use = (idx >= lo) & (idx < lo + n_use)
+        return jnp.sum(jnp.where(use & jnp.isfinite(srt), srt, 0.0), axis=0) / n_use
+
+    ba = trimmed_mean(acc)
+    bg = trimmed_mean(gyr)
+    roll_init = jnp.arctan2(ba[1], ba[2])
+    pitch_init = -jnp.arctan2(ba[0], jnp.sqrt(ba[1] ** 2 + ba[2] ** 2))
+    return ba, bg, roll_init, pitch_init
+
+
 class Preintegration(NamedTuple):
     """Δ quantities over one scan interval (body frame of the first sample)."""
 

@@ -102,3 +102,33 @@ def test_odometry_no_imu(seq):
     gt = np.stack([t for (_, t) in seq["poses"]])
     ate = ate_rmse(est, gt)
     assert ate < 0.2, f"no-IMU odometry ATE {ate:.3f} m"
+
+
+def test_static_bias_estimation():
+    """Stationary samples with known biases + attitude -> recovered."""
+    rng = np.random.default_rng(5)
+    n = 700
+    bg_true = np.array([0.002, -0.001, 0.0015])
+    roll, pitch = 0.05, -0.03
+    from rgc_slam_tpu.utils import math3d as _m3
+    R = np.asarray(_m3.ypr_to_mat(jnp.array([0.0, pitch, roll])))
+    f_body = R.T @ np.array([0.0, 0.0, 9.81])
+    acc = f_body[None, :] + rng.normal(0, 0.02, (n, 3))
+    gyr = bg_true[None, :] + rng.normal(0, 0.002, (n, 3))
+    # inject motion outliers that check_static must reject
+    acc[::50] += 3.0
+    gyr[::61] += 0.2
+    ba, bg, r0, p0 = imu_ops.estimate_static_bias(
+        jnp.asarray(acc, jnp.float32), jnp.asarray(gyr, jnp.float32),
+        jnp.ones(n, bool),
+    )
+    np.testing.assert_allclose(np.asarray(bg), bg_true, atol=5e-4)
+    assert abs(float(r0) - roll) < 5e-3
+    assert abs(float(p0) - pitch) < 5e-3
+
+
+def test_check_static():
+    acc = jnp.array([[0.0, 0.0, 9.81], [0.0, 0.0, 12.0], [0.0, 0.0, 9.81]])
+    gyr = jnp.array([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0], [0.1, 0.0, 0.0]])
+    ok = imu_ops.check_static(acc, gyr)
+    assert list(np.asarray(ok)) == [True, False, False]

@@ -92,6 +92,16 @@ class Correspondences(NamedTuple):
     valid: jax.Array          # [N]
 
 
+NEIGHBOR_OFFSETS = {
+    # fast_vgicp's NeighborSearchMethod offset tables (fast_vgicp_voxel.hpp:94-128)
+    1: [(0, 0, 0)],
+    7: [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1),
+        (0, 0, -1)],
+    27: [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+         for dz in (-1, 0, 1)],
+}
+
+
 def find_correspondences(
     src: jax.Array,
     src_cov: jax.Array,
@@ -101,27 +111,46 @@ def find_correspondences(
     t: jax.Array,
     max_corr_dist: float,
     probes: int = 16,
+    neighbors: int = 1,
 ) -> Correspondences:
-    """Voxel lookup (DIRECT1) + Mahalanobis precompute at pose (q, t)."""
+    """Voxel lookup (DIRECT1/7/27) + Mahalanobis precompute at pose (q, t).
+
+    With ``neighbors`` > 1 each source point matches the occupied voxels in
+    its DIRECT-k neighborhood (arrays flattened to [N*k]) — the reference's
+    multi-voxel correspondence mode that smooths voxel-discretization bias.
+    """
     Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
-    slots = vh.voxelmap_lookup(vm, Tp, probes)
-    found = (slots >= 0) & src_mask
+    offsets = jnp.asarray(NEIGHBOR_OFFSETS[neighbors], jnp.int32)  # [K, 3]
+    coords = vh.voxel_coords(Tp, vm.resolution)                     # [N, 3]
+    nb = coords[:, None, :] + offsets[None, :, :]                   # [N, K, 3]
+    keys = vh.pack_coords(nb, src_mask[:, None])
+    slots = vh.lookup_slots(vm.keys, keys.reshape(-1), probes)      # [N*K]
+    found = (slots >= 0) & jnp.repeat(src_mask, offsets.shape[0])
     sl = jnp.clip(slots, 0, vm.mean.shape[0] - 1)
+    Tp_r = jnp.repeat(Tp, offsets.shape[0], axis=0)                 # [N*K, 3]
+    cov_r = jnp.repeat(src_cov, offsets.shape[0], axis=0)
     mean_B = vm.mean[sl]
     cov_B = vm.cov[sl]
-    err = mean_B - Tp
+    err = mean_B - Tp_r
     dist2 = jnp.sum(err * err, axis=-1)
     valid = found & (dist2 < max_corr_dist * max_corr_dist)
     w = jnp.where(valid, jnp.sqrt(jnp.maximum(vm.num_points[sl], 1.0)), 0.0)
     R = m3.quat_to_mat(q)
-    RCA = jnp.einsum("ij,njk,lk->nil", R, src_cov, R)
+    RCA = jnp.einsum("ij,njk,lk->nil", R, cov_r, R)
     Minv = _inv3_sym(cov_B + RCA)
     return Correspondences(mean_B=mean_B, Minv=Minv, w=w, valid=valid)
+
+
+def _expand_src(src: jax.Array, corr: Correspondences) -> jax.Array:
+    """Repeat src to match multi-voxel correspondence arrays."""
+    k = corr.mean_B.shape[0] // src.shape[0]
+    return src if k == 1 else jnp.repeat(src, k, axis=0)
 
 
 def corr_cost(corr: Correspondences, src: jax.Array, q: jax.Array, t: jax.Array,
               psum_axis=None):
     """Cost at (q, t) with frozen correspondences (ref ``compute_error``)."""
+    src = _expand_src(src, corr)
     Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
     err = corr.mean_B - Tp
     Me = jnp.einsum("nij,nj->ni", corr.Minv, err)
@@ -139,6 +168,7 @@ def corr_linearize(corr: Correspondences, src: jax.Array, q: jax.Array, t: jax.A
     over the named mesh axis — the TPU analog of the reference's OpenMP
     per-thread H/b partials merged at the end (fast_vgicp_impl.hpp:135-180).
     """
+    src = _expand_src(src, corr)
     Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
     err = corr.mean_B - Tp
     w, Minv = corr.w, corr.Minv
@@ -165,11 +195,13 @@ def corr_linearize(corr: Correspondences, src: jax.Array, q: jax.Array, t: jax.A
 
 def vgicp_linearize(
     src, src_cov, src_mask, vm, q, t, max_corr_dist, probes: int = 16,
-    psum_axis=None,
+    psum_axis=None, neighbors: int = 1,
 ):
     """Correspondence search + linearization at (q, t).  Returns (H, b, cost,
     n_corr, corr) with corr reusable for the LM accept test."""
-    corr = find_correspondences(src, src_cov, src_mask, vm, q, t, max_corr_dist, probes)
+    corr = find_correspondences(
+        src, src_cov, src_mask, vm, q, t, max_corr_dist, probes, neighbors
+    )
     H, b, cost = corr_linearize(corr, src, q, t, psum_axis)
     n = jnp.sum(corr.valid)
     if psum_axis is not None:
@@ -239,7 +271,8 @@ def lm_register(
 
     def outer_body(s: _LMState):
         H, b, y0, _, corr = vgicp_linearize(
-            src, src_cov, src_mask, vm, s.q, s.t, max_corr, probes, psum_axis
+            src, src_cov, src_mask, vm, s.q, s.t, max_corr, probes, psum_axis,
+            cfg.neighbor_search,
         )
         lam0 = jnp.where(
             s.lm_lambda < 0,

@@ -127,3 +127,30 @@ def test_linearize_gradient_matches_autodiff(pair):
     g = jax.grad(cost_fn)(jnp.zeros(6))
     # cost = sum w e^T M e with M(d) frozen -> grad = 2 J^T M e = 2 b
     np.testing.assert_allclose(np.asarray(g), 2 * np.asarray(b), rtol=0.05, atol=0.5)
+
+
+def test_direct7_neighbors(pair):
+    """DIRECT7 multi-voxel correspondences: more matches, same-or-better
+    registration than DIRECT1 (ref NeighborSearchMethod)."""
+    import dataclasses
+
+    sa, sb, R_ab, t_ab = pair
+    fa, fb = _prep(sa), _prep(sb)
+    tgt, tgt_cov, tgt_mask = _downsample_with_covs(fa, CFG.target_voxel_size, 4096)
+    vm = vh.build_gaussian_voxelmap(
+        tgt, tgt_cov, tgt_mask, CFG.vgicp_resolution, CFG.max_voxels
+    )
+    src, src_cov, src_mask = _downsample_with_covs(fb, CFG.source_voxel_size, CFG.max_source_points)
+    c1 = REG.find_correspondences(
+        src, src_cov, src_mask, vm, m3.quat_identity(), jnp.zeros(3), 2.0,
+        neighbors=1,
+    )
+    c7 = REG.find_correspondences(
+        src, src_cov, src_mask, vm, m3.quat_identity(), jnp.zeros(3), 2.0,
+        neighbors=7,
+    )
+    assert int(c7.valid.sum()) > int(c1.valid.sum())
+    cfg7 = dataclasses.replace(CFG, neighbor_search=7)
+    res = REG.lm_register(src, src_cov, src_mask, vm, m3.quat_identity(), jnp.zeros(3), cfg7)
+    t_err = np.linalg.norm(np.asarray(res.t) - t_ab)
+    assert t_err < 0.06, f"DIRECT7 translation error {t_err}"

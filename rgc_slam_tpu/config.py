@@ -117,6 +117,10 @@ class SlamConfig:
     loop_submap_halfwidth: int = 25       # +/- keyframes in loop submap
     loop_icp_iterations: int = 30
     loop_fitness_thresh: float = 0.1
+    # "point": pcl::IterativeClosestPoint parity (point-to-point + Kabsch);
+    # "gicp": distribution-to-distribution alignment (ops/gicp) — tighter
+    # basin from large drift, costs kNN covariance estimation per attempt
+    loop_icp_method: str = "point"
     max_loops: int = 64
     pgo_iterations: int = 10
     max_loop_submap_points: int = 16384

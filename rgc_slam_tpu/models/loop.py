@@ -204,10 +204,21 @@ def loop_closure_step(state: SlamState, loop_state: LoopState, cfg: SlamConfig):
     src, src_mask = _kf_cloud_world(ms, latest, cfg.max_kf_corner, cfg.max_kf_surf)
     src = src - origin[None, :]
 
-    q_icp, t_icp, fitness, n_icp = icp_point2point(
-        src, src_mask & have_cand, tgt, tgt_mask, 2.0 * radius,
-        cfg.loop_icp_iterations,
-    )
+    if cfg.loop_icp_method == "gicp":
+        from ..ops.gicp import gicp_register
+        from ..utils import math3d as _m3
+
+        res = gicp_register(
+            src, src_mask & have_cand, tgt, tgt_mask,
+            _m3.quat_identity(dtype), jnp.zeros(3, dtype), cfg,
+            max_iters=cfg.loop_icp_iterations,
+        )
+        q_icp, t_icp, fitness, n_icp = res.q, res.t, res.fitness, res.n_corr
+    else:
+        q_icp, t_icp, fitness, n_icp = icp_point2point(
+            src, src_mask & have_cand, tgt, tgt_mask, 2.0 * radius,
+            cfg.loop_icp_iterations,
+        )
     accepted = have_cand & (fitness < cfg.loop_fitness_thresh) & (n_icp > 100)
 
     # ---- loop constraint from the ICP drift (T_loop_correct) ----

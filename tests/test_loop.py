@@ -141,3 +141,15 @@ def test_loop_closure_end_to_end():
     # low-res sequence the no-loop keyframe ATE is ~1.8 m — closing loops must
     # bring it down meaningfully
     assert kf_ate < 1.5, f"post-PGO keyframe ATE {kf_ate:.3f} m ({n_loops} loops)"
+
+
+def test_loop_gicp_method_compiles():
+    """loop_icp_method='gicp' must compile and no-op safely with no candidates."""
+    cfg = dataclasses.replace(TEST_CONFIG, loop_icp_method="gicp")
+    state = SlamState.init(cfg)
+    ls = loop_mod.LoopState.init(cfg)
+    state2, ls2, info = jax.jit(
+        functools.partial(loop_mod.loop_closure_step, cfg=cfg)
+    )(state, ls)
+    assert not bool(info.accepted)
+    assert int(ls2.loop_count) == 0

@@ -59,11 +59,16 @@ def run_sequence(cfg, seq, loop_every=0):
     t0 = time.perf_counter()
     for k, (cloud, imu, stamp) in enumerate(staged):
         state, out = step(state, cloud, imu, stamp)
-        est_map.append(np.asarray(out.t_map))
-        est_odo.append(np.asarray(out.t_odom))
+        # keep results on device; a per-scan host sync would ride the TPU
+        # tunnel RPC and hide the engine speed
+        est_map.append(out.t_map)
+        est_odo.append(out.t_odom)
         if loop_every and (k + 1) % loop_every == 0:
             state, lstate, info = loop_step(state, lstate)
+    jax.block_until_ready(state)
     wall = time.perf_counter() - t0
+    est_map = [np.asarray(x) for x in est_map]
+    est_odo = [np.asarray(x) for x in est_odo]
     n_loops = int(lstate.loop_count)
     gt = np.stack([t for (_, t) in seq["poses"]])
     est_map = np.stack(est_map)
@@ -90,7 +95,7 @@ def main():
 
     # ---- config 1: odometry-only (16-ch + IMU + ground) ----
     seq1 = synthetic.generate_sequence(
-        n_scans=60 if q else 200, n_azimuth=900, seed=21, extent=30.0,
+        n_scans=60 if q else 400, n_azimuth=900, seed=21, extent=30.0,
         radius=12.0, noise=0.01, closes_loop=False, speed=2.0,
     )
     cfg1 = dataclasses.replace(BASE, loop_closure_enable=False)
@@ -98,8 +103,8 @@ def main():
 
     # ---- config 2: full SLAM with ground + loop closure (closed course) ----
     seq2 = synthetic.generate_sequence(
-        n_scans=120 if q else 360, n_azimuth=900, seed=22, extent=26.0,
-        radius=10.0, noise=0.01, closes_loop=True, laps=1.3,
+        n_scans=120 if q else 600, n_azimuth=900, seed=22, extent=26.0,
+        radius=10.0, noise=0.01, closes_loop=True, laps=1.6,
     )
     results["2_full_slam_loop"] = run_sequence(BASE, seq2, loop_every=5)
 

@@ -18,13 +18,17 @@ def cloud_from_arrays(
 ) -> PointCloud:
     """Pack host arrays into a fixed-capacity PointCloud (truncate/pad)."""
     n = xyz.shape[0]
-    take = min(n, cap)
-    # keep valid points preferentially
-    order = np.argsort(~mask, kind="stable")[:take]
+    if n > cap:
+        # keep valid points preferentially when truncating
+        order = np.argsort(~mask, kind="stable")[:cap]
+    else:
+        # no selection needed — skip the host-side sort (hot real-time path)
+        order = slice(None)
 
     def pad(a, fill=0):
         out = np.full((cap,) + a.shape[1:], fill, a.dtype)
-        out[: len(order)] = a[order]
+        sel = a[order]
+        out[: len(sel)] = sel
         return out
 
     return PointCloud(

@@ -7,7 +7,7 @@ when a scan exceeds 100 ms, RGC_odometer.cpp:1360-1361 — see BASELINE.md);
 vs_baseline is the speedup over that 10 Hz bar.  The measured step is the
 full scan->pose pipeline (feature extraction -> odometry VGICP + fusion ->
 scan-to-map optimization) on full-size 16-ch sweeps, aggregated over a
-64-robot vmapped fleet per chip (BASELINE config 5) — the chip-throughput
+128-robot vmapped fleet per chip (BASELINE config 5) — the chip-throughput
 deployment mode.  Single-stream latency is ~0.3 ms/scan (~2700 scans/sec).
 """
 from __future__ import annotations
@@ -36,7 +36,7 @@ BENCH_CONFIG = SlamConfig(
     max_loop_submap_points=8192,
 )
 
-# per-robot capacities for the 64-way fleet (HBM-bounded per chip)
+# per-robot capacities for the vmapped fleet (HBM-bounded per chip)
 FLEET_CONFIG = SlamConfig(
     max_points=16384,
     max_source_points=4096,
@@ -47,7 +47,7 @@ FLEET_CONFIG = SlamConfig(
     max_map_points=8192,
     max_loop_submap_points=4096,
 )
-FLEET_B = 64
+FLEET_B = 128  # 256 exceeds the remote-compile helper's memory
 
 N_WARMUP = 5
 N_TIMED = 40
@@ -94,7 +94,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "registered scans/sec/chip (16-ch full SLAM steps, 64-robot vmap fleet)",
+                "metric": "registered scans/sec/chip (16-ch full SLAM steps, 128-robot vmap fleet)",
                 "value": round(scans_per_sec, 2),
                 "unit": "scans/sec",
                 "vs_baseline": round(scans_per_sec / 10.0, 2),

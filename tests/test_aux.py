@@ -75,6 +75,7 @@ def test_checkpoint_roundtrip(tmp_path, short_run):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_resume_continues_identically(tmp_path, short_run):
     """Processing scans 0..3, checkpointing, resuming, processing 4..7 must
     equal an uninterrupted run."""

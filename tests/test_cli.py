@@ -17,6 +17,7 @@ def test_kitti_bin_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(back, raw)
 
 
+@pytest.mark.slow
 def test_kitti_sequence_runs(tmp_path):
     """Synthesize 64-beam scans into KITTI .bin files, run them through the
     KittiSequence -> SLAM pipeline."""
@@ -55,6 +56,7 @@ def test_kitti_sequence_runs(tmp_path):
     assert np.isfinite(np.asarray(out.t_map)).all()
 
 
+@pytest.mark.slow
 def test_cli_synthetic(tmp_path, monkeypatch):
     """End-to-end CLI run on a tiny synthetic sequence."""
     from rgc_slam_tpu import run as cli

@@ -31,6 +31,7 @@ def _inputs(n_robots, n_steps=3):
     return steps
 
 
+@pytest.mark.slow
 def test_vmap_fleet_matches_single():
     """A fleet of identical robots must produce identical per-robot results,
     equal to the single-robot path."""
@@ -51,6 +52,7 @@ def test_vmap_fleet_matches_single():
     np.testing.assert_allclose(tm[0], np.asarray(sout.t_map), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_fleet_on_virtual_mesh():
     """dp×sp shard_map must compile, run, and agree with the vmap fleet."""
     n_dev = len(jax.devices())

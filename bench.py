@@ -16,14 +16,12 @@ import functools
 import json
 import time
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 
 from rgc_slam_tpu.config import SlamConfig
 from rgc_slam_tpu.io import synthetic
 from rgc_slam_tpu.io.convert import cloud_from_scan_dict, imu_from_interval
-from rgc_slam_tpu.models.slam import SlamState, slam_step
 
 BENCH_CONFIG = SlamConfig(
     max_points=16384,          # 16 rings x 900 azimuth, masked

@@ -14,7 +14,6 @@ PCD/PLY/TUM files any point-cloud viewer opens.
 """
 from __future__ import annotations
 
-import struct as _struct
 from typing import Optional, Tuple
 
 import numpy as np
@@ -23,7 +22,6 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..models.mapping import MappingState
 from ..utils import math3d as m3
-from ..ops import voxelhash as vh
 
 
 def compose_map_pose(q_md, t_md, q_odom, t_odom):

@@ -12,7 +12,7 @@ engine), mirroring the role of the reference's bag-replay front door.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -23,7 +23,6 @@ from flax import struct
 
 from ..config import SlamConfig
 from ..types import ImuBatch, PointCloud
-from ..utils import math3d as m3
 from ..ops import features as F
 from ..ops import voxelhash as vh
 from . import mapping as mapping_mod

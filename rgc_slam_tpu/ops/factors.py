@@ -20,7 +20,7 @@ Factors implemented (reference locations):
 """
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

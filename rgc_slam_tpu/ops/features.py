@@ -18,9 +18,6 @@ Everything jits and vmaps (fleet config 5 of BASELINE.json).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -17,8 +17,6 @@ structure as ops/registration.py.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

@@ -16,7 +16,6 @@ giving exact key comparison without int64 (disabled on TPU by default).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
 import jax

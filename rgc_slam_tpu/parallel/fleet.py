@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -28,7 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import SlamConfig
 from ..types import ImuBatch, PointCloud
-from ..models.slam import SlamState, SlamOutput, slam_step
+from ..models.slam import SlamState, slam_step
 
 
 def fleet_init(cfg: SlamConfig, n_robots: int) -> SlamState:
@@ -46,10 +44,6 @@ def fleet_step(states: SlamState, clouds: PointCloud, imus: ImuBatch,
 def make_mesh(n_dp: int, n_sp: int) -> Mesh:
     devs = np.asarray(jax.devices()[: n_dp * n_sp]).reshape(n_dp, n_sp)
     return Mesh(devs, axis_names=("dp", "sp"))
-
-
-class FleetSummary(Tuple):
-    pass
 
 
 def make_distributed_step(mesh: Mesh, cfg: SlamConfig):

@@ -11,10 +11,8 @@ surface the reference produces via its trajectory writers and PCD dumps.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import os
-import sys
 
 import numpy as np
 

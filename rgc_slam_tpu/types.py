@@ -7,8 +7,6 @@ flows through jit / vmap / scan and serializes with orbax for checkpointing.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import struct

@@ -10,7 +10,7 @@ restores a mapped session's keyframe store and keeps it frozen.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import numpy as np

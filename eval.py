@@ -93,13 +93,14 @@ def main():
     q = args.quick
     results = {}
 
-    # ---- config 1: odometry-only (16-ch + IMU + ground) ----
+    # ---- config 1: full pipeline minus loop closure (16-ch + IMU + ground);
+    # ate_map_m is the mapping headline, ate_odom_m the raw odometry ----
     seq1 = synthetic.generate_sequence(
         n_scans=60 if q else 400, n_azimuth=900, seed=21, extent=30.0,
         radius=12.0, noise=0.01, closes_loop=False, speed=2.0,
     )
     cfg1 = dataclasses.replace(BASE, loop_closure_enable=False)
-    results["1_odometry_16ch_imu"] = run_sequence(cfg1, seq1)
+    results["1_full_pipeline_no_loop"] = run_sequence(cfg1, seq1)
 
     # ---- config 2: full SLAM with ground + loop closure (closed course) ----
     seq2 = synthetic.generate_sequence(
@@ -182,7 +183,7 @@ def main():
         "| Config | scans | path (m) | ATE map (m) | ATE odom (m) | RPE (m) | loops |",
         "|---|---|---|---|---|---|---|",
     ]
-    for name in ("1_odometry_16ch_imu", "2_full_slam_loop", "3_degraded_corridor",
+    for name in ("1_full_pipeline_no_loop", "2_full_slam_loop", "3_degraded_corridor",
                  "4_kitti64_lidar_only"):
         r = results[name]
         lines.append(

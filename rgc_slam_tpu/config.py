@@ -147,15 +147,32 @@ class SlamConfig:
         """Per-ring expected ground range for the configured sensor height.
 
         Generalizes the hardcoded `Ground_scan_range[16]` table
-        (scanRegistration.cpp:40): ring i of a 16-beam Velodyne points at
-        elevation (-15 + 2*i) degrees; ground hit distance = h / sin(|elev|).
+        (scanRegistration.cpp:40): ground hit distance = h / sin(|elev|) with
+        the per-sensor elevation of ring i (ring->angle formulas inverted from
+        scanRegistration.cpp:145-178 / io/convert.ring_from_vertical_angle):
+          16-beam VLP-16:   elev = -15 + 2*i      (ring 0 = lowest beam)
+          32-beam HDL-32E:  elev = -92/3 + 4/3*i  (ring 0 = lowest beam)
+          64-beam HDL-64E:  ring 0 is the HIGHEST beam (+2 deg) — the low-ring
+          ground heuristic does not transfer; configure use_ground=False (the
+          KITTI config does) or supply a custom table.
         """
         import math
 
+        if self.n_scans == 16:
+            elev_of = lambda i: -15.0 + 2.0 * i
+        elif self.n_scans == 32:
+            elev_of = lambda i: -92.0 / 3.0 + (4.0 / 3.0) * i
+        else:
+            if self.use_ground:
+                raise ValueError(
+                    "expected_ground_ranges: no low-ring elevation table for "
+                    f"n_scans={self.n_scans}; set use_ground=False or add one"
+                )
+            # unused (ground segmentation off) — benign placeholder
+            elev_of = lambda i: -15.0 + 2.0 * i
         out = []
         for i in range(self.ground_scan_rings + 1):
-            elev_deg = -15.0 + 2.0 * i if self.n_scans == 16 else -15.0 + 2.0 * i
-            elev = abs(elev_deg) * math.pi / 180.0
+            elev = abs(elev_of(i)) * math.pi / 180.0
             out.append(self.lidar_height / max(math.sin(elev), 1e-3))
         return tuple(out)
 

@@ -36,7 +36,19 @@ def voxel_coords(pts: jax.Array, resolution: float | jax.Array) -> jax.Array:
 
 
 def pack_coords(coords: jax.Array, valid: jax.Array) -> jax.Array:
-    """[..., 3] int coords -> single non-negative int32 key; invalid/-out-of-range -> -1."""
+    """[..., 3] int coords -> single non-negative int32 key; invalid/out-of-range -> -1.
+
+    CONTRACT: coords must lie within ±COORD_OFFSET (±512) voxels of the
+    origin or the point is SILENTLY dropped (key = -1, excluded from every
+    downstream table/lookup).  At 0.2 m resolution that is ±102 m; at 1.0 m,
+    ±512 m.  Callers working in world coordinates MUST origin-shift first —
+    see odometry._submap_target / mapping.assemble_local_map, which subtract
+    floor(current position) so map-scale coordinates never approach the
+    boundary.  The 80 m range gate keeps per-scan geometry comfortably inside;
+    KITTI's ~120 m returns at 0.2 m are within budget only because of that
+    shift.  (10 bits/axis keeps the packed key inside non-negative int32 —
+    int64 is disabled on TPU by default.)
+    """
     shifted = coords + COORD_OFFSET
     in_range = jnp.all((shifted >= 0) & (shifted <= COORD_MASK), axis=-1)
     key = (

@@ -33,7 +33,7 @@ def main(argv=None):
     ap.add_argument("--save-ckpt", metavar="DIR", help="save final state")
     args = ap.parse_args(argv)
 
-    import jax.numpy as jnp
+    import jax
 
     from .config import SlamConfig
     from .io.convert import cloud_from_arrays, imu_from_interval
@@ -113,8 +113,14 @@ def main(argv=None):
     metrics = Metrics()
     n = 0
     for item in feed:
-        with timer.stage("scan", ()):
+        # sync on the step outputs so timing.json measures compute, not
+        # dispatch — otherwise the reference's >100 ms budget warning
+        # (RGC_odometer.cpp:1360-1361) can never fire.  (On the tunneled TPU
+        # this adds an RPC round-trip per scan; bench.py, which never syncs
+        # per-step, owns the throughput story.)
+        with timer.stage("scan"):
             out = system.process(item["cloud"], item["imu"], item["stamp"])
+            jax.block_until_ready(out)
         metrics.log(n, fitness=float(out.fitness), n_corr=int(out.n_corr),
                     kf_added=bool(out.kf_added))
         n += 1

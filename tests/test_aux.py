@@ -227,3 +227,27 @@ def test_slam_system_with_loops():
         imu = imu_from_interval(t_imu, acc, gyr, CFG.max_imu)
         system.process(cloud, imu, seq["stamps"][k])
     assert len(system.trajectory) == len(seq["scans"])
+
+
+def test_expected_ground_ranges_per_sensor():
+    """ADVICE fix: 32-beam uses its own elevation table; 64-beam + ground
+    raises (its ring 0 is the highest beam, the low-ring heuristic breaks)."""
+    import dataclasses
+    import math
+    import pytest as _pytest
+    from rgc_slam_tpu.config import SlamConfig
+
+    c16 = SlamConfig()
+    c32 = dataclasses.replace(c16, n_scans=32)
+    r16 = c16.expected_ground_ranges
+    r32 = c32.expected_ground_ranges
+    assert r16 != r32
+    # ring 0: 16-beam at -15 deg, 32-beam at -92/3 deg
+    assert abs(r16[0] - 0.56 / math.sin(math.radians(15.0))) < 1e-6
+    assert abs(r32[0] - 0.56 / math.sin(math.radians(92.0 / 3.0))) < 1e-6
+    c64_bad = dataclasses.replace(c16, n_scans=64, use_ground=True)
+    with _pytest.raises(ValueError):
+        _ = c64_bad.expected_ground_ranges
+    # ground off -> no raise (KITTI config path)
+    c64 = dataclasses.replace(c16, n_scans=64, use_ground=False)
+    assert len(c64.expected_ground_ranges) == c64.ground_scan_rings + 1

@@ -26,6 +26,13 @@ from ..utils import math3d as m3
 MED_WIN = 41          # median window for ay/az (ax uses MED_WIN_X)
 MED_WIN_X = 201
 
+# startup static-bias estimation window (ref get_init_imu_bias,
+# RGC_odometer.cpp:444-486,628-697: drop the first 100 samples, then collect
+# ~700 and trimmed-mean them; scaled to 256/32 here — ~1.3 s at 200 Hz)
+WARM_DROP = 100
+WARM_CAP = 256
+WARM_TRIM = 32
+
 
 @struct.dataclass
 class ImuFilterState:
@@ -42,6 +49,13 @@ class ImuFilterState:
     bufy: jax.Array           # [MED_WIN]
     bufz: jax.Array           # [MED_WIN]
 
+    # startup bias-estimation window (see WARM_* above).  bias_ready flips
+    # True once the estimate has been applied (or preset True to disable).
+    warm_acc: jax.Array       # [WARM_CAP, 3] raw samples after WARM_DROP
+    warm_gyr: jax.Array       # [WARM_CAP, 3]
+    warm_n: jax.Array         # [] int32 collected count
+    bias_ready: jax.Array     # [] bool
+
     @classmethod
     def init(cls, dtype=jnp.float32) -> "ImuFilterState":
         return cls(
@@ -55,6 +69,10 @@ class ImuFilterState:
             bufx=jnp.zeros(MED_WIN_X, dtype),
             bufy=jnp.zeros(MED_WIN, dtype),
             bufz=jnp.zeros(MED_WIN, dtype),
+            warm_acc=jnp.zeros((WARM_CAP, 3), dtype),
+            warm_gyr=jnp.zeros((WARM_CAP, 3), dtype),
+            warm_n=jnp.asarray(0, jnp.int32),
+            bias_ready=jnp.asarray(False),
         )
 
     def rwi(self) -> jax.Array:
@@ -142,6 +160,13 @@ def complementary_filter_scan(state: ImuFilterState, imu: ImuBatch, gravity: flo
         roll = jnp.where(fast, low * roll + (1 - low) * s.roll, roll)
         pitch = jnp.where(fast, low * pitch + (1 - low) * s.pitch, pitch)
 
+        # startup bias window: collect raw samples after the WARM_DROP
+        # discard (ref drops the first 100, RGC_odometer.cpp:452-457)
+        collect = valid & (s.count >= WARM_DROP) & (s.warm_n < WARM_CAP) & ~s.bias_ready
+        wpos = jnp.clip(s.warm_n, 0, WARM_CAP - 1)
+        warm_acc = jnp.where(collect, s.warm_acc.at[wpos].set(acc), s.warm_acc)
+        warm_gyr = jnp.where(collect, s.warm_gyr.at[wpos].set(gyr), s.warm_gyr)
+
         new = s.replace(
             roll=jnp.where(valid, m3.wrap_angle(roll), s.roll),
             pitch=jnp.where(valid, m3.wrap_angle(pitch), s.pitch),
@@ -151,10 +176,38 @@ def complementary_filter_scan(state: ImuFilterState, imu: ImuBatch, gravity: flo
             bufx=jnp.where(valid, bufx, s.bufx),
             bufy=jnp.where(valid, bufy, s.bufy),
             bufz=jnp.where(valid, bufz, s.bufz),
+            warm_acc=warm_acc,
+            warm_gyr=warm_gyr,
+            warm_n=jnp.where(collect, s.warm_n + 1, s.warm_n),
         )
         return new, None
 
     out, _ = jax.lax.scan(step, state, (imu.t, imu.acc, imu.gyr, imu.mask))
+
+    # ---- startup bias/attitude initialization (ref get_init_imu_bias):
+    # once the warm-up window fills, trimmed-mean the stationary samples.
+    # Applied only if at least half the window tested static — a robot moving
+    # from power-on keeps zero biases (round-1 behavior) rather than adopting
+    # a motion-polluted estimate.
+    ready_now = (~out.bias_ready) & (out.warm_n >= WARM_CAP)
+    all_mask = jnp.ones(WARM_CAP, bool)
+    ba_mean, bg_mean, roll_i, pitch_i = estimate_static_bias(
+        out.warm_acc, out.warm_gyr, all_mask, trim=WARM_TRIM, gravity=gravity
+    )
+    n_static = jnp.sum(check_static(out.warm_acc, out.warm_gyr, gravity))
+    apply = ready_now & (n_static >= WARM_CAP // 2)
+    # true accel bias for preintegration = norm excess along the measured
+    # gravity direction (the stationary mean IS gravity-in-body + bias);
+    # convention-free, unlike reconstructing R(roll,pitch) here
+    ba_norm = jnp.linalg.norm(ba_mean)
+    ba_true = ba_mean * (1.0 - gravity / jnp.maximum(ba_norm, 1e-6))
+    out = out.replace(
+        ba=jnp.where(apply, ba_true, out.ba),
+        bg=jnp.where(apply, bg_mean, out.bg),
+        roll=jnp.where(apply, roll_i, out.roll),
+        pitch=jnp.where(apply, pitch_i, out.pitch),
+        bias_ready=out.bias_ready | ready_now,
+    )
     return out
 
 

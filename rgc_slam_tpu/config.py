@@ -82,6 +82,10 @@ class SlamConfig:
     keyframe_dist: float = 0.5            # keyframeAddingDistance
     keyframe_angle: float = 0.3           # keyframeAddingAngle (rad)
     surrounding_radius: float = 15.0      # surroundingKeyframeSearchRadius
+    # keyframes gathered into the local map: the reference takes ALL within
+    # the radius (RGC_mapping.cpp:1536-1548); 32 covers a 15 m ball at the
+    # 0.5 m gate in revisit-heavy maps (r1 used 12, which truncated)
+    surrounding_keyframes: int = 32
     max_keyframes: int = 512
     max_kf_corner: int = 512              # per-keyframe corner cloud budget
     max_kf_surf: int = 2048               # per-keyframe surf cloud budget
@@ -114,7 +118,7 @@ class SlamConfig:
     loop_closure_enable: bool = True
     loop_search_radius: float = 15.0
     loop_travel_gate: float = 20.0        # travel-distance difference gate
-    loop_submap_halfwidth: int = 25       # +/- keyframes in loop submap
+    loop_submap_halfwidth: int = 50       # +/- keyframes in loop submap (ref ±50, RGC_mapping.cpp:157,2195)
     loop_icp_iterations: int = 30
     loop_fitness_thresh: float = 0.1
     # "point": pcl::IterativeClosestPoint parity (point-to-point + Kabsch);
@@ -189,6 +193,8 @@ TEST_CONFIG = SlamConfig(
     max_map_points=4096,
     max_loops=8,
     max_loop_submap_points=2048,
+    surrounding_keyframes=12,
+    loop_submap_halfwidth=25,
     vgicp_max_iterations=15,
     max_sharp_total=512,
     max_flat_total=1024,

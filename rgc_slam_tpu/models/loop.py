@@ -31,6 +31,8 @@ from ..ops import factors as fac
 from ..ops import knn as knn_ops
 from ..ops import voxelhash as vh
 from .mapping import MappingState
+from .mapping import COMPACT_MARGIN as mapping_margin
+from .mapping import compact_keyframe_store as mapping_compact
 from .slam import SlamState
 
 DRIFT_FACTOR = 0.02
@@ -140,7 +142,52 @@ def _kf_cloud_world(ms: MappingState, k: jax.Array, cap_c: int, cap_s: int):
     return pts, mask
 
 
+def _maybe_compact(state: SlamState, ls: LoopState, cfg: SlamConfig):
+    """Run keyframe-store compaction when capacity headroom drops below
+    COMPACT_MARGIN, remapping the loop store's keyframe indices.
+
+    Loop-anchor keyframes are protected from eviction so stored constraints
+    (relative pose in the anchor frame) stay exact; if protection ever leaves
+    nothing evictable, compaction falls back to the unprotected rule and any
+    loop whose endpoint died is dropped (masked to -1)."""
+    ms = state.mapping
+    K = ms.kf_q.shape[0]
+
+    def do(args):
+        ms, ls = args
+        anchored = jnp.zeros(K, jnp.int32)
+        li_ok = (ls.loop_i >= 0).astype(jnp.int32)
+        lj_ok = (ls.loop_j >= 0).astype(jnp.int32)
+        anchored = anchored.at[jnp.clip(ls.loop_i, 0, K - 1)].max(li_ok)
+        anchored = anchored.at[jnp.clip(ls.loop_j, 0, K - 1)].max(lj_ok)
+        ms2, keep, new_of_old = mapping_compact(ms, protect=anchored > 0)
+
+        def remap(ix):
+            safe = jnp.clip(ix, 0, K - 1)
+            ok = (ix >= 0) & keep[safe]
+            return jnp.where(ok, new_of_old[safe], -1)
+
+        li = remap(ls.loop_i)
+        lj = remap(ls.loop_j)
+        both = (li >= 0) & (lj >= 0)
+        # new_kf detection bookkeeping: count evictions below the watermark
+        idx = jnp.arange(K)
+        ev_below = jnp.sum((~keep) & (idx < ms.kf_count) & (idx < ls.last_kf_count))
+        ls2 = ls.replace(
+            loop_i=jnp.where(both, li, -1),
+            loop_j=jnp.where(both, lj, -1),
+            last_kf_count=jnp.maximum(ls.last_kf_count - ev_below, 0).astype(jnp.int32),
+        )
+        return ms2, ls2
+
+    need = ms.kf_count >= K - mapping_margin
+    ms2, ls2 = jax.lax.cond(need, do, lambda a: a, (ms, ls))
+    return state.replace(mapping=ms2), ls2
+
+
 def loop_closure_step(state: SlamState, loop_state: LoopState, cfg: SlamConfig):
+    if cfg.loop_closure_enable and cfg.map_update:
+        state, loop_state = _maybe_compact(state, loop_state, cfg)
     ms = state.mapping
     ls = loop_state
     dtype = ms.t_md.dtype
@@ -170,9 +217,14 @@ def loop_closure_step(state: SlamState, loop_state: LoopState, cfg: SlamConfig):
     kf_idx = jnp.arange(K)
     valid = kf_idx < ms.kf_count
     d = jnp.linalg.norm(ms.kf_t - ms.kf_t[latest][None, :], axis=-1)
+    # maturity gate: the reference skips the first MIN_LOOP_KEY keyframes
+    # (index-based).  Expressed in travel so it stays correct after store
+    # compaction relabels slots (pre-eviction the two are identical at the
+    # keyframe distance gate: travel[i] ~= i * keyframe_dist).
+    mature = ms.kf_travel >= MIN_LOOP_KEY * cfg.keyframe_dist
     eligible = (
         valid
-        & (kf_idx >= MIN_LOOP_KEY)
+        & mature
         & (kf_idx != latest)
         & (d < radius)
         & (jnp.abs(ms.kf_travel - travel_latest) > (cfg.loop_travel_gate + radius))

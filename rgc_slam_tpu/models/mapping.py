@@ -36,7 +36,12 @@ from .odometry import OdometryOutput
 
 HIST_CAP = 64
 RAD2DEG = 57.29577951308232
-K_NEAR = 12               # surrounding keyframes gathered into the local map
+
+# Keyframe-store compaction headroom: when loop closure is enabled the
+# compaction runs inside loop_closure_step, which the host must call at least
+# every COMPACT_MARGIN scans (SlamSystem: every 10) so the store never hits
+# capacity between calls.  At most one keyframe is added per scan.
+COMPACT_MARGIN = 16
 
 
 @struct.dataclass
@@ -134,31 +139,93 @@ class MappingOutput(NamedTuple):
 
 
 # ---------------------------------------------------------------------------
+# keyframe-store compaction (long-session eviction)
+# ---------------------------------------------------------------------------
+
+
+def compact_keyframe_store(ms: MappingState, protect: jax.Array | None = None):
+    """Free keyframe capacity by thinning the oldest half of the store.
+
+    The reference's keyframe containers are unbounded std::maps
+    (RGC_mapping.cpp:1839-1943); a static-shape store must evict.  Eviction =
+    every other unprotected keyframe among the oldest half (temporal
+    decimation): distant history keeps spatial coverage for loop closure at
+    half density while the recent half — the working set of the local map —
+    stays intact.  Temporal order is preserved, so the PGO odometry chain
+    (rebuilt from current poses each solve) stays valid across compactions.
+
+    ``protect`` ([K] bool) marks keyframes that must survive (loop anchors).
+    If protection leaves nothing evictable, the unprotected rule is applied
+    regardless and the caller must drop loop constraints whose endpoints died
+    (see loop._maybe_compact).
+
+    Returns (ms, keep [K] bool over OLD indices, new_of_old [K] int32).
+    All-gather implementation: jit/vmap-safe, runs under lax.cond.
+    """
+    K = ms.kf_q.shape[0]
+    idx = jnp.arange(K)
+    valid = idx < ms.kf_count
+    old_half = idx < (ms.kf_count - K // 2)
+
+    def every_other(elig):
+        rank = jnp.cumsum(elig.astype(jnp.int32)) - 1
+        return elig & (rank % 2 == 1)
+
+    prot = jnp.zeros(K, bool) if protect is None else protect
+    evict1 = every_other(valid & old_half & ~prot)
+    evict2 = every_other(valid & old_half)
+    evict = jnp.where(jnp.sum(evict1) > 0, evict1, evict2)
+    keep = valid & ~evict
+    new_of_old = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    # kept entries packed to the front in temporal order; dead slots behind
+    src = jnp.argsort(jnp.where(keep, idx, K + idx))
+    ms = ms.replace(
+        kf_q=ms.kf_q[src],
+        kf_t=ms.kf_t[src],
+        kf_stamp=ms.kf_stamp[src],
+        kf_travel=ms.kf_travel[src],
+        kf_corner=ms.kf_corner[src],
+        kf_corner_conf=ms.kf_corner_conf[src],
+        kf_corner_mask=ms.kf_corner_mask[src],
+        kf_surf=ms.kf_surf[src],
+        kf_surf_conf=ms.kf_surf_conf[src],
+        kf_surf_mask=ms.kf_surf_mask[src],
+        kf_count=jnp.sum(keep).astype(jnp.int32),
+    )
+    return ms, keep, new_of_old
+
+
+# ---------------------------------------------------------------------------
 # local map assembly
 # ---------------------------------------------------------------------------
 
 
 def assemble_local_map(state: MappingState, t_center: jax.Array, cfg: SlamConfig):
     """Top-K nearest keyframes within the search radius -> world-frame corner
-    and surf maps, voxel-downsampled (replaces RGC_mapping.cpp:1503-1616)."""
+    and surf maps, voxel-downsampled (replaces RGC_mapping.cpp:1503-1616).
+
+    cfg.surrounding_keyframes bounds the gather; the reference takes ALL
+    keyframes within 15 m (RGC_mapping.cpp:1536-1548) — the default of 32
+    covers that radius at the 0.5 m keyframe gate for revisit-heavy maps."""
     K = state.kf_q.shape[0]
+    k_near = min(cfg.surrounding_keyframes, K)
     kf_valid = jnp.arange(K) < state.kf_count
     d = jnp.linalg.norm(state.kf_t - t_center[None, :], axis=-1)
     d = jnp.where(kf_valid, d, jnp.inf)
-    neg, sel = jax.lax.top_k(-d, K_NEAR)
+    neg, sel = jax.lax.top_k(-d, k_near)
     sel_ok = (-neg) < cfg.surrounding_radius
 
     def gather(cloud, conf, mask):
-        # [K_NEAR, P, 3] world-frame
+        # [k_near, P, 3] world-frame
         q = state.kf_q[sel]
         t = state.kf_t[sel]
         pts = m3.quat_rotate(q[:, None, :], cloud[sel]) + t[:, None, :]
         msk = mask[sel] & sel_ok[:, None]
         P = pts.shape[1]
         return (
-            pts.reshape(K_NEAR * P, 3),
-            conf[sel].reshape(K_NEAR * P),
-            msk.reshape(K_NEAR * P),
+            pts.reshape(k_near * P, 3),
+            conf[sel].reshape(k_near * P),
+            msk.reshape(k_near * P),
         )
 
     c_pts, c_conf, c_mask = gather(
@@ -428,7 +495,21 @@ def mapping_step(
     ypr_c = m3.mat_to_ypr(m3.quat_to_mat(q_w))
     d_ang = jnp.max(jnp.abs(m3.wrap_angle(ypr_l - ypr_c)))
     add_kf = (~has_kf) | (d_pos > cfg.keyframe_dist) | (d_ang > cfg.keyframe_angle)
-    add_kf = add_kf & (state.kf_count < K) & jnp.asarray(cfg.map_update)
+    add_kf = add_kf & jnp.asarray(cfg.map_update)
+
+    if not cfg.loop_closure_enable:
+        # long-session eviction (no loop store to remap): thin the oldest
+        # half when the store fills.  With loops enabled the compaction runs
+        # in loop_closure_step instead, which also fixes loop indices.
+        state = jax.lax.cond(
+            add_kf & (state.kf_count >= K),
+            lambda s: compact_keyframe_store(s)[0],
+            lambda s: s,
+            state,
+        )
+    # backstop: never write past capacity (reachable only if the host runs
+    # loops rarer than COMPACT_MARGIN scans, or not at all — fleet mode)
+    add_kf = add_kf & (state.kf_count < K)
 
     wi = jnp.clip(state.kf_count, 0, K - 1)
     C, S = cfg.max_kf_corner, cfg.max_kf_surf

@@ -67,3 +67,81 @@ def test_travel_distance_monotone(run):
     n_kf = int(state.mapping.kf_count)
     tr = np.asarray(state.mapping.kf_travel[:n_kf])
     assert (np.diff(tr) > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# keyframe-store compaction (long-session eviction, VERDICT r1 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_compact_keyframe_store_unit():
+    from rgc_slam_tpu.models.mapping import MappingState, compact_keyframe_store
+
+    K = CFG.max_keyframes
+    ms = MappingState.init(CFG)
+    n = K - 4
+    xs = np.zeros((K, 3), np.float32)
+    xs[:, 0] = np.arange(K) * 0.5
+    ms = ms.replace(
+        kf_t=jnp.asarray(xs),
+        kf_travel=jnp.asarray(np.arange(K, dtype=np.float32) * 0.5),
+        kf_stamp=jnp.asarray(np.arange(K, dtype=np.float32)),
+        kf_count=jnp.asarray(n, jnp.int32),
+    )
+    protect = jnp.zeros(K, bool).at[3].set(True)  # an "anchor" in the old half
+    ms2, keep, new_of_old = jax.jit(compact_keyframe_store)(ms, protect)
+    n2 = int(ms2.kf_count)
+    assert n2 < n
+    t2 = np.asarray(ms2.kf_t)[:n2]
+    tr2 = np.asarray(ms2.kf_travel)[:n2]
+    # temporal order preserved (stamps strictly increasing)
+    assert (np.diff(np.asarray(ms2.kf_stamp)[:n2]) > 0).all()
+    assert (np.diff(tr2) > 0).all()
+    # recent half untouched
+    half = K // 2
+    np.testing.assert_array_equal(t2[-(n - (n - half)):], xs[n - half:n])
+    # protected keyframe survived
+    assert 1.5 in t2[:, 0].tolist()
+    # new_of_old consistent for every kept keyframe
+    keep_np = np.asarray(keep)
+    noo = np.asarray(new_of_old)
+    for i in np.nonzero(keep_np)[0]:
+        np.testing.assert_array_equal(t2[noo[i]], xs[i])
+    # roughly a quarter evicted
+    assert (n - n2) >= (n - half) // 2 - 1
+
+
+def test_eviction_no_loop_long_run():
+    """>2x capacity straight drive with loops off: the store compacts instead
+    of freezing; the newest keyframe keeps tracking the robot."""
+    import functools
+
+    cfg = dataclasses.replace(
+        CFG, loop_closure_enable=False, max_keyframes=16, keyframe_dist=0.1,
+    )
+    lseq = synthetic.generate_sequence(
+        n_scans=44, n_azimuth=240, seed=5, extent=18.0, radius=8.0,
+        noise=0.004, closes_loop=False, speed=2.0,
+    )
+    state = SlamState.init(cfg)
+    step = jax.jit(functools.partial(slam_step, cfg=cfg))
+    est, counts = [], []
+    for k, scan in enumerate(lseq["scans"]):
+        cloud = cloud_from_scan_dict(scan, cfg)
+        t_imu, acc, gyr = lseq["imu"][k]
+        ib = imu_from_interval(t_imu, acc, gyr, cfg.max_imu)
+        state, out = step(state, cloud, ib, jnp.asarray(lseq["stamps"][k], jnp.float32))
+        est.append(np.asarray(out.t_map))
+        counts.append(int(state.mapping.kf_count))
+    gt = np.stack([t for (_, t) in lseq["poses"]])
+    # ~44 keyframe adds vs capacity 16: compaction must have run
+    assert max(counts) <= 16
+    assert counts[-1] > 8
+    kf_t = np.asarray(state.mapping.kf_t)[: counts[-1]]
+    # newest keyframe tracks the robot (store did not freeze at ~16 adds)
+    assert np.linalg.norm(kf_t[-1] - est[-1]) < 0.5
+    # travel accumulators stay monotone across compactions
+    tr = np.asarray(state.mapping.kf_travel)[: counts[-1]]
+    assert (np.diff(tr) > 0).all()
+    ate = ate_rmse(np.stack(est), gt)
+    assert ate < 0.25, f"ATE {ate:.3f} m across compactions"

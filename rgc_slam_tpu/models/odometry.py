@@ -185,9 +185,26 @@ def odometry_step(
 
     # ---- IMU: attitude filter + preintegration over the interval ----
     imu_state = imu_ops.complementary_filter_scan(state.imu_filter, imu, cfg.gravity)
-    preint = imu_ops.preintegrate(
-        imu, state.prev_stamp, stamp, state.imu_filter.ba, state.imu_filter.bg
-    )
+    if cfg.imu_cov_mode == "preint":
+        # full 15-dim propagation: the θ-block variance becomes the DeltaR
+        # factor weight below (principled replacement for the reference's two
+        # hardcoded constants, utility.h:303-380)
+        preint_full = imu_ops.preintegrate_full(
+            imu, state.prev_stamp, stamp,
+            state.imu_filter.ba, state.imu_filter.bg,
+            acc_n=cfg.imu_acc_n, gyr_n=cfg.imu_gyr_n,
+            acc_w=cfg.imu_acc_w, gyr_w=cfg.imu_gyr_w,
+        )
+        preint = imu_ops.Preintegration(
+            delta_q=preint_full.delta_q, delta_p=preint_full.delta_p,
+            delta_v=preint_full.delta_v, sum_dt=preint_full.sum_dt,
+        )
+        imu_rot_var = jnp.trace(preint_full.cov[3:6, 3:6]) / 3.0
+    else:
+        preint = imu_ops.preintegrate(
+            imu, state.prev_stamp, stamp, state.imu_filter.ba, state.imu_filter.bg
+        )
+        imu_rot_var = None
     delta_q_imu = preint.delta_q if cfg.use_imu else m3.quat_identity(dtype)
     frame_dt = jnp.maximum(stamp - state.prev_stamp, 1e-3).astype(dtype)
 
@@ -281,8 +298,11 @@ def odometry_step(
     # ---- factor fusion over (q, t) (RGC_odometer.cpp:1024-1119) ----
     ground_active = cfg.use_ground & (gflag == 0) & ground_cur.valid & g_last.valid
     d_ypr_norm = jnp.linalg.norm(d_ypr_deg)
-    imu_cov = jnp.where(d_ypr_norm > 0.6, cfg.imu_cov_fast, 1.0 - fitness)
-    imu_cov = jnp.maximum(imu_cov, 1e-4)
+    if imu_rot_var is not None:
+        imu_cov = jnp.clip(imu_rot_var, 1e-4, 1.0)
+    else:
+        imu_cov = jnp.where(d_ypr_norm > 0.6, cfg.imu_cov_fast, 1.0 - fitness)
+        imu_cov = jnp.maximum(imu_cov, 1e-4)
     w_ground = jnp.where(ground_active, 1.0, 0.0).astype(dtype)
     w_imu = jnp.asarray(1.0 if cfg.use_imu else 0.0, dtype)
 

@@ -50,6 +50,10 @@ class SlamOutput(NamedTuple):
     fitness: jax.Array
     n_corr: jax.Array
     kf_added: jax.Array
+    # deskewed full cloud (sensor frame) — stays on device unless fetched;
+    # feeds the per-frame dump surface (ref RGC_odometer.cpp:1353-1354)
+    full_xyz: jax.Array
+    full_mask: jax.Array
 
 
 def slam_step(
@@ -116,6 +120,8 @@ def slam_step(
         fitness=odo_out.fitness,
         n_corr=odo_out.n_corr,
         kf_added=map_out.kf_added,
+        full_xyz=odo_out.deskewed_full.xyz,
+        full_mask=odo_out.deskewed_full.mask,
     )
     return SlamState(odo=odo_state, mapping=map_state), out
 

@@ -321,6 +321,143 @@ def preintegrate(
     return Preintegration(delta_q=q, delta_p=p, delta_v=v, sum_dt=sdt)
 
 
+class PreintegrationFull(NamedTuple):
+    """Preintegration with 15-dim uncertainty (ref ``IntegrationBase``,
+    utility.h:303-380).  Tangent-state order: [δp, δθ, δv, δba, δbg]."""
+
+    delta_q: jax.Array        # [4]
+    delta_p: jax.Array        # [3]
+    delta_v: jax.Array        # [3]
+    sum_dt: jax.Array         # []
+    cov: jax.Array            # [15, 15] propagated noise covariance
+    jac: jax.Array            # [15, 15] d(state)/d(state0); columns 9:15 are
+    #                           the bias-correction Jacobians (∂Δ/∂ba, ∂Δ/∂bg)
+
+
+def preintegrate_full(
+    imu: ImuBatch,
+    t0: jax.Array,
+    t1: jax.Array,
+    ba: jax.Array,
+    bg: jax.Array,
+    acc_n: float = 0.08,
+    gyr_n: float = 0.004,
+    acc_w: float = 4e-5,
+    gyr_w: float = 2e-6,
+) -> PreintegrationFull:
+    """Midpoint preintegration with 15-dim covariance + bias Jacobians.
+
+    The reference's ``IntegrationBase::midpointIntegration``
+    (utility.h:303-380) hand-derives the 15x15 transition F and 15x18 noise
+    matrix V per sample.  Here both are the exact linearization of the same
+    midpoint step, obtained by forward-mode autodiff of a tangent-space
+    wrapper — no hand-derived blocks to get wrong, and the 27 JVP columns
+    batch onto the VPU.  One fidelity upgrade over the reference: the
+    midpoint rule reuses each sample's measurement noise in two consecutive
+    steps (as the step-k ``a1`` and the step-k+1 ``a0``); VINS treats those
+    as independent, underestimating σ by √2 (verified by Monte-Carlo).  We
+    carry the previous sample's noise as 6 extra augmented-state dims so the
+    correlation is exact.  Noise model: white measurement noise densities
+    ``acc_n``/``gyr_n`` (discretized as σ²/dt) and bias random walks
+    ``acc_w``/``gyr_w`` (σ²·dt).
+    """
+    dtype = imu.acc.dtype
+
+    prev_t = jnp.concatenate([jnp.array([-1.0], imu.t.dtype), imu.t[:-1]])
+    prev_valid = jnp.concatenate([jnp.array([False]), imu.mask[:-1]])
+    dt = jnp.where(prev_valid, imu.t - prev_t, imu.t - t0)
+    dt = jnp.where(imu.mask, jnp.maximum(dt, 0.0), 0.0)
+    prev_acc = jnp.concatenate([imu.acc[:1], imu.acc[:-1]], axis=0)
+    prev_gyr = jnp.concatenate([imu.gyr[:1], imu.gyr[:-1]], axis=0)
+    acc0s = jnp.where(prev_valid[:, None], prev_acc, imu.acc)
+    gyr0s = jnp.where(prev_valid[:, None], prev_gyr, imu.gyr)
+
+    def midpoint(q, p, v, ba_, bg_, a0, a1, g0, g1, dt_i):
+        un_gyr = 0.5 * (g0 + g1) - bg_
+        dq = m3.quat_normalize(
+            jnp.concatenate([jnp.ones((1,), dtype), un_gyr * dt_i / 2.0])
+        )
+        q_new = m3.quat_normalize(m3.quat_mul(q, dq))
+        un_acc = 0.5 * (m3.quat_rotate(q, a0 - ba_) + m3.quat_rotate(q_new, a1 - ba_))
+        p_new = p + v * dt_i + 0.5 * un_acc * dt_i * dt_i
+        v_new = v + un_acc * dt_i
+        return q_new, p_new, v_new
+
+    def step(carry, inp):
+        q, p, v, sdt, cov, jac = carry            # cov: [21,21] augmented
+        dt_i, a0, a1, g0, g1, valid = inp
+        q_new, p_new, v_new = midpoint(q, p, v, ba, bg, a0, a1, g0, g1, dt_i)
+
+        def perturbed(z):
+            """z = [xi(15), n_prev(6): a0/g0 noise, n_new(6): a1/g1 noise]
+            -> augmented output tangent [x'(15), n_new(6)]."""
+            xi, np_, nn = z[:15], z[15:21], z[21:27]
+            q_ = m3.quat_mul(q, m3.quat_exp(xi[3:6]))
+            q2, p2, v2 = midpoint(
+                q_, p + xi[:3], v + xi[6:9], ba + xi[9:12], bg + xi[12:15],
+                a0 + np_[0:3], a1 + nn[0:3], g0 + np_[3:6], g1 + nn[3:6], dt_i,
+            )
+            th = m3.quat_log(m3.quat_mul(m3.quat_conj(q_new), q2))
+            return jnp.concatenate(
+                [p2 - p_new, th, v2 - v_new, xi[9:12], xi[12:15], nn]
+            )
+
+        FV = jax.jacfwd(perturbed)(jnp.zeros(27, dtype))   # [21, 27]
+        F_aug, V_aug = FV[:, :21], FV[:, 21:]              # [21,21], [21,6]
+        dts = jnp.maximum(dt_i, 1e-4)
+        qd = jnp.concatenate(
+            [
+                jnp.full((3,), acc_n**2 / dts, dtype),
+                jnp.full((3,), gyr_n**2 / dts, dtype),
+            ]
+        )
+        walk = jnp.concatenate(
+            [
+                jnp.zeros(9, dtype),
+                jnp.full((3,), acc_w**2 * dts, dtype),
+                jnp.full((3,), gyr_w**2 * dts, dtype),
+                jnp.zeros(6, dtype),
+            ]
+        )
+        cov_new = F_aug @ cov @ F_aug.T + (V_aug * qd[None, :]) @ V_aug.T \
+            + jnp.diag(walk)
+        jac_new = F_aug[:15, :15] @ jac
+        out = (
+            jnp.where(valid, q_new, q),
+            jnp.where(valid, p_new, p),
+            jnp.where(valid, v_new, v),
+            sdt + jnp.where(valid, dt_i, 0.0),
+            jnp.where(valid, cov_new, cov),
+            jnp.where(valid, jac_new, jac),
+        )
+        return out, None
+
+    init = (
+        m3.quat_identity(dtype),
+        jnp.zeros(3, dtype),
+        jnp.zeros(3, dtype),
+        jnp.asarray(0.0, dtype),
+        jnp.zeros((21, 21), dtype),
+        jnp.eye(15, dtype=dtype),
+    )
+    (q, p, v, sdt, cov, jac), _ = jax.lax.scan(
+        step, init, (dt, acc0s, imu.acc, gyr0s, imu.gyr, imu.mask)
+    )
+    return PreintegrationFull(
+        delta_q=q, delta_p=p, delta_v=v, sum_dt=sdt, cov=cov[:15, :15], jac=jac
+    )
+
+
+def bias_corrected_delta(pre: PreintegrationFull, dba: jax.Array, dbg: jax.Array):
+    """First-order bias correction of the preintegrated deltas (the reference
+    re-evaluates via ``IntegrationBase::evaluate``'s Jacobian blocks)."""
+    dp = pre.delta_p + pre.jac[0:3, 9:12] @ dba + pre.jac[0:3, 12:15] @ dbg
+    dv = pre.delta_v + pre.jac[6:9, 9:12] @ dba + pre.jac[6:9, 12:15] @ dbg
+    dth = pre.jac[3:6, 12:15] @ dbg
+    dq = m3.quat_normalize(m3.quat_mul(pre.delta_q, m3.quat_exp(dth)))
+    return dq, dp, dv
+
+
 def gravity_init(
     preint: Preintegration,
     q_w_curr: jax.Array,

@@ -34,6 +34,14 @@ def main(argv=None):
     ap.add_argument("--localize", metavar="CKPT",
                     help="localization mode: restore a prior-map checkpoint")
     ap.add_argument("--save-ckpt", metavar="DIR", help="save final state")
+    ap.add_argument("--dump-frames", action="store_true",
+                    help="write each deskewed scan as a world-frame PCD "
+                         "(ref per-frame dumps, RGC_odometer.cpp:1353-1354)")
+    ap.add_argument("--viz", action="store_true",
+                    help="write viewer.html (map + trajectory + loop edges)")
+    ap.add_argument("--viz-every", type=int, metavar="N", default=0,
+                    help="rewrite viewer.html every N scans with "
+                         "auto-refresh (live rviz stand-in)")
     args = ap.parse_args(argv)
 
     import jax
@@ -149,7 +157,23 @@ def main(argv=None):
             jax.block_until_ready(out)
         metrics.log(n, fitness=float(out.fitness), n_corr=int(out.n_corr),
                     kf_added=bool(out.kf_added))
+        if args.dump_frames:
+            from .io.export import write_pcd
+            from .utils.math3d import quat_rotate
+
+            frames_dir = os.path.join(args.out_dir, "frames")
+            os.makedirs(frames_dir, exist_ok=True)
+            mask = np.asarray(out.full_mask)
+            world = np.asarray(
+                quat_rotate(out.q_map[None, :], out.full_xyz) + out.t_map[None, :]
+            )[mask]
+            write_pcd(os.path.join(frames_dir, f"frame_{n:06d}.pcd"), world)
         n += 1
+        if args.viz_every and n % args.viz_every == 0:
+            from .io.viz import write_viewer
+
+            write_viewer(os.path.join(args.out_dir, "viewer.html"), system, cfg,
+                         refresh_s=2.0)
         if n % 50 == 0:
             print(f"  scan {n}: t={np.asarray(out.t_map).round(2)}")
 
@@ -161,6 +185,10 @@ def main(argv=None):
     pts, conf = global_map(system.state.mapping, cfg)
     if len(pts):
         write_pcd(os.path.join(args.out_dir, "global_map.pcd"), pts, conf)
+    if args.viz or args.viz_every:
+        from .io.viz import write_viewer
+
+        write_viewer(os.path.join(args.out_dir, "viewer.html"), system, cfg)
     metrics.dump(os.path.join(args.out_dir, "metrics.jsonl"))
     with open(os.path.join(args.out_dir, "timing.json"), "w") as f:
         json.dump(timer.summary(), f, indent=2)

@@ -251,3 +251,35 @@ def test_expected_ground_ranges_per_sensor():
     # ground off -> no raise (KITTI config path)
     c64 = dataclasses.replace(c16, n_scans=64, use_ground=False)
     assert len(c64.expected_ground_ranges) == c64.ground_scan_rings + 1
+
+
+def test_viz_html(tmp_path):
+    """render_html embeds the geometry and is self-contained (no externals)."""
+    from rgc_slam_tpu.io.viz import render_html
+
+    traj = np.cumsum(np.random.default_rng(0).normal(size=(30, 3)), axis=0)
+    pts = np.random.default_rng(1).normal(size=(500, 3)) * 10
+    edges = np.stack([traj[:2], traj[-2:]], axis=1)
+    html = render_html(traj, pts, edges, n_kf=7, refresh_s=2.0)
+    assert "<canvas" in html and "http-equiv=\"refresh\"" in html
+    import json as _json
+    payload = html.split("const DATA = ", 1)[1].split(";\n", 1)[0]
+    data = _json.loads(payload)
+    assert len(data["traj"]) == 30 and len(data["map"]) == 500
+    assert len(data["loops"]) == 2 and data["n_kf"] == 7
+    assert "http://" not in html and "https://" not in html  # no CDN deps
+    p = tmp_path / "viewer.html"
+    p.write_text(render_html(traj, pts))
+    assert p.stat().st_size > 1000
+
+
+def test_viz_write_viewer(tmp_path, short_run):
+    from rgc_slam_tpu.io.viz import write_viewer
+    from rgc_slam_tpu.models.slam import SlamSystem
+
+    seq, state, step = short_run
+    sys_ = SlamSystem(CFG, enable_loop=True)
+    sys_.state = state
+    sys_.trajectory = [(0.0, np.array([1, 0, 0, 0.0]), np.zeros(3))]
+    write_viewer(str(tmp_path / "v.html"), sys_, CFG)
+    assert (tmp_path / "v.html").exists()

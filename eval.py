@@ -181,7 +181,8 @@ def main():
     results["5_fleet_64"] = {
         "robots": B,
         "cross_robot_spread_m": float(np.abs(tm - tm[:1]).max()),
-        "note": "throughput measured by bench.py (~160-200k scans/sec/chip)",
+        "note": "throughput measured by bench.py (~128k scans/sec/chip, "
+                "honest distinct-input methodology)",
     }
 
     with open("eval_results.json", "w") as f:
@@ -221,11 +222,13 @@ def main():
         "",
         f"Loop-gate note: accepted loops on config 2 (full sensor density) "
         f"have ICP fitness median {r2['loop_fitness_accepted_med']} / max "
-        f"{r2['loop_fitness_accepted_max']}; the reference's 0.1 gate "
-        "(RGC_mapping.cpp:156,2071) is viable at full density — the looser "
-        "0.15/0.25 in the unit tests covers only the low-density test worlds "
-        "(fitness = mean squared NN distance, floor scales with cloud "
-        "sparsity).",
+        f"{r2['loop_fitness_accepted_max']}.  Fitness is mean squared NN "
+        "distance, so its floor is set by submap point density (the "
+        "max_loop_submap_points cap + voxel grid), not by alignment quality "
+        "— on these synthetic worlds the floor sits above the reference's "
+        "0.1 gate (RGC_mapping.cpp:156,2071), hence eval runs at 0.15 "
+        "(documented deviation; the SHIPPED default stays at the "
+        "reference's 0.1, sized for real-sensor submap density).",
         "",
         "Config 3 note: the corridor is evaluated in its observable regime "
         "(end walls in range).  Mid-span of an arbitrarily long featureless "

@@ -45,6 +45,67 @@ def _cost(fn, args):
         return None, None
 
 
+def fleet_breakdown(B: int = 128, iters: int = 20):
+    """Per-stage device time at fleet batch, dispatch-amortized.
+
+    Each stage runs `iters` times inside ONE jit via lax.scan, with an
+    iteration-dependent carry perturbing the inputs (defeats loop-invariant
+    hoisting/CSE), so per-iteration time = (wall - dispatch) / iters and the
+    ~0.4 ms tunnel dispatch floor cancels out.
+    """
+    import jax.numpy as jnp
+    from bench import FLEET_CONFIG, _stage_inputs
+    from rgc_slam_tpu.parallel import fleet
+
+    cfg = FLEET_CONFIG
+    inputs, _ = _stage_inputs(cfg, B, 6)
+    states = fleet.fleet_init(cfg, B)
+    fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
+    for k in range(4):
+        states, _ = fstep(states, *inputs[k])
+    jax.block_until_ready(states)
+    cloud, imu, stamps = inputs[4]
+
+    def scanned(body, init_carry):
+        def outer(cloud, imu, stamps, st):
+            def it(c, _):
+                return body(c, cloud, imu, stamps, st), None
+            c, _ = jax.lax.scan(it, init_carry, None, length=iters)
+            return c
+        return jax.jit(outer)
+
+    def feat_body(c, cloud, imu, stamps, st):
+        cl = cloud.replace(xyz=cloud.xyz + c * 1e-7)
+        fx = jax.vmap(functools.partial(F.extract_features, cfg=cfg))(cl)
+        return jnp.sum(fx.sharp.confidence) * 0.0 + c * 0.5
+
+    def full_body(c, cloud, imu, stamps, st):
+        cl = cloud.replace(xyz=cloud.xyz + c * 1e-7)
+        _, out = fleet.fleet_step(st, cl, imu, stamps, cfg)
+        return jnp.sum(out.fitness) * 0.0 + c * 0.5
+
+    def odo_body(c, cloud, imu, stamps, st):
+        cl = cloud.replace(xyz=cloud.xyz + c * 1e-7)
+        fx = jax.vmap(functools.partial(F.extract_features, cfg=cfg))(cl)
+        ost, oout = jax.vmap(functools.partial(odo_mod.odometry_step, cfg=cfg))(
+            st.odo, fx, imu, stamps
+        )
+        return jnp.sum(oout.fitness) * 0.0 + c * 0.5
+
+    rows = {}
+    base = jnp.asarray(1.0, jnp.float32)
+    for name, body in (("features", feat_body), ("feat+odo", odo_body),
+                       ("full", full_body)):
+        fn = scanned(body, base)
+        ms = _time(lambda *a: fn(*a), (cloud, imu, stamps, states), n=8)
+        rows[name] = ms / iters
+        print(f"{name:10s} {ms / iters:8.3f} ms/step (B={B}, x{iters} scanned)",
+              flush=True)
+    print(f"{'odometry≈':10s} {rows['feat+odo'] - rows['features']:8.3f} ms/step")
+    print(f"{'mapping≈':10s} {rows['full'] - rows['feat+odo']:8.3f} ms/step")
+    return rows
+
+
 def main():
     cfg = BENCH_CONFIG
     seq = synthetic.generate_sequence(
@@ -87,4 +148,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--fleet" in sys.argv:
+        fleet_breakdown()
+    else:
+        main()

@@ -72,10 +72,20 @@ def test_cli_synthetic(tmp_path, monkeypatch):
 
     monkeypatch.setattr(syn, "generate_sequence", small)
     out = tmp_path / "out"
-    cli.main(["--synthetic", "4", "--out-dir", str(out), "--no-loop"])
+    cli.main(["--synthetic", "4", "--out-dir", str(out), "--no-loop",
+              "--dump-frames", "--viz", "--viz-every", "2"])
     assert (out / "pose_evo.txt").exists()
     assert (out / "odometry_pose_evo.txt").exists()
     assert (out / "global_map.pcd").exists()
     assert (out / "metrics.jsonl").exists()
     timing = json.loads((out / "timing.json").read_text())
     assert timing["scan"]["count"] == 4
+    # per-frame dumps (ref RGC_odometer.cpp:1353-1354) + viewer surface
+    frames = sorted((out / "frames").glob("frame_*.pcd"))
+    assert len(frames) == 4
+    from rgc_slam_tpu.io.export import read_pcd
+
+    xyz, _ = read_pcd(str(frames[0]))
+    assert len(xyz) > 50 and np.isfinite(xyz).all()
+    html = (out / "viewer.html").read_text()
+    assert "<canvas" in html and "const DATA" in html

@@ -18,9 +18,13 @@ Methodology (honest-fleet rules):
     flatter the number); distinct inputs measure the real fleet workload.
   * timing is the MEDIAN of 5 windows of 40 steps (not best-of).
   * single-stream latency (B=1, full-size caps) is reported alongside.
-  * XLA cost analysis supplies FLOPs/step -> achieved TFLOP/s and MFU
-    against the chip's bf16 peak (f32-precision matmuls run as multi-pass
-    bf16 on the MXU, so this MFU is a conservative lower bound).
+  * XLA cost analysis supplies FLOPs/step -> achieved TFLOP/s and an MFU
+    estimate against the chip's bf16 peak.  Treat MFU as indicative only:
+    cost-analysis FLOPs count pre-fusion ops (overcounts masked/select
+    work), while f32-highest matmuls run as multi-pass bf16 (undercounts
+    passes) — scans/sec is the trustworthy metric.
+  * run on a QUIET host: concurrent CPU jobs contend with the dispatch
+    path and can cut measured throughput ~3x.
 """
 from __future__ import annotations
 
@@ -66,6 +70,12 @@ N_WARMUP = 5
 N_TIMED = int(os.environ.get("RGC_BENCH_TIMED", 40))
 N_REPS = int(os.environ.get("RGC_BENCH_REPS", 5))
 SKIP_SINGLE = os.environ.get("RGC_BENCH_SKIP_SINGLE", "") == "1"
+# dispatch chunking: run C consecutive scans inside one jit call (unrolled)
+# — C dispatches become 1, amortizing the tunnel/runtime per-call overhead
+# (measured 5.3x on the tunneled v5e: 128k -> 677k scans/sec/chip).  A real
+# deployment lever when scans are buffered (not strictly real-time); the
+# per-dispatch number is reported alongside as the real-time-loop rate.
+CHUNK = int(os.environ.get("RGC_BENCH_CHUNK", 4))
 
 # bf16 matmul peak by device_kind (public spec sheets); used only for the
 # MFU estimate — absent kinds report mfu as null rather than guessing
@@ -169,10 +179,29 @@ def main():
     fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
     flops_step = _flops_per_call(fstep.lower(states, *inputs[0]).compile())
 
+    if CHUNK > 1:
+        def chunk_step(states, *chunk_inputs):
+            outs = None
+            for i in range(CHUNK):
+                states, outs = fleet.fleet_step(
+                    states, *chunk_inputs[3 * i:3 * i + 3], cfg=cfg
+                )
+            return states, outs
+
+        cstep = jax.jit(chunk_step)
+        n_timed = (n_timed // CHUNK) * CHUNK
+
+        def run_window(states):
+            for k in range(N_WARMUP, N_WARMUP + n_timed, CHUNK):
+                flat = [x for j in range(CHUNK) for x in inputs[k + j]]
+                states, outs = cstep(states, *flat)
+            return states
+
     for k in range(N_WARMUP):
         states, outs = fstep(states, *inputs[k])
     jax.block_until_ready(states)
 
+    # per-dispatch (real-time loop) rate
     rates = []
     for _ in range(N_REPS):
         t0 = time.perf_counter()
@@ -180,7 +209,17 @@ def main():
             states, outs = fstep(states, *inputs[k])
         jax.block_until_ready(states)
         rates.append(n_timed * B / (time.perf_counter() - t0))
-    scans_per_sec = statistics.median(rates)
+    per_dispatch = statistics.median(rates)
+
+    scans_per_sec = per_dispatch
+    if CHUNK > 1:
+        rates = []
+        for _ in range(N_REPS):
+            t0 = time.perf_counter()
+            states = run_window(states)
+            jax.block_until_ready(states)
+            rates.append(n_timed * B / (time.perf_counter() - t0))
+        scans_per_sec = statistics.median(rates)
 
     single_ms = None if SKIP_SINGLE else _single_stream(seq0, n_scans)
 
@@ -195,11 +234,12 @@ def main():
                 "metric": (
                     f"registered scans/sec/chip (16-ch full SLAM steps, "
                     f"{B}-robot vmap fleet, distinct per-robot inputs, "
-                    f"median of {N_REPS})"
+                    f"median of {N_REPS}, {CHUNK}-scan dispatch chunks)"
                 ),
                 "value": round(scans_per_sec, 2),
                 "unit": "scans/sec",
                 "vs_baseline": round(scans_per_sec / 10.0, 2),
+                "per_dispatch_scans_per_sec": round(per_dispatch, 2),
                 "single_stream_ms_per_scan": round(single_ms, 4) if single_ms else None,
                 "fleet_step_gflops": round(flops_step / 1e9, 3) if flops_step else None,
                 "achieved_tflops_per_sec": round(achieved / 1e12, 3) if achieved else None,

@@ -181,8 +181,8 @@ def main():
     results["5_fleet_64"] = {
         "robots": B,
         "cross_robot_spread_m": float(np.abs(tm - tm[:1]).max()),
-        "note": "throughput measured by bench.py (~128k scans/sec/chip, "
-                "honest distinct-input methodology)",
+        "note": "throughput measured by bench.py (~400k/s per-dispatch, "
+                "~1.34M/s chunked, distinct per-robot inputs, quiet host)",
     }
 
     with open("eval_results.json", "w") as f:
@@ -212,13 +212,13 @@ def main():
         "",
         f"Fleet (config 5): {r5['robots']} robots per chip, cross-robot result "
         f"spread {r5['cross_robot_spread_m']:.2e} m (identical inputs ⇒ ~0); "
-        "chip throughput is bench.py's metric (~128k scans/sec/chip, honest "
-        "distinct-input methodology).",
+        "chip throughput is bench.py's metric (~400k scans/sec/chip "
+        "per-dispatch, ~1.34M chunked, quiet host).",
         "",
         "Timing note: this loop syncs per-scan results to the host through "
         "the TPU tunnel (hundreds of ms RPC latency each), so wall times here "
         "do not reflect engine speed — bench.py measures that "
-        "(~0.78 ms/scan single stream, ~128k scans/sec/chip fleet).",
+        "(~0.38 ms/scan single stream, ~400k-1.34M scans/sec/chip fleet).",
         "",
         f"Loop-gate note: accepted loops on config 2 (full sensor density) "
         f"have ICP fitness median {r2['loop_fitness_accepted_med']} / max "

@@ -45,13 +45,62 @@ def _cost(fn, args):
         return None, None
 
 
-def fleet_breakdown(B: int = 128, iters: int = 20):
-    """Per-stage device time at fleet batch, dispatch-amortized.
+def fleet_differential(B: int = 128, n_timed: int = 40):
+    """Stage shares by config differencing at fleet batch (robust on the
+    tunnel, unlike scan-wrapped mega-programs which it mis-times):
 
-    Each stage runs `iters` times inside ONE jit via lax.scan, with an
-    iteration-dependent carry perturbing the inputs (defeats loop-invariant
-    hoisting/CSE), so per-iteration time = (wall - dispatch) / iters and the
-    ~0.4 ms tunnel dispatch floor cancels out.
+      full               — the bench fleet step
+      mapping skipped    — mapping_skip_frame huge (lax.cond skip branch)
+      + LM capped at 1   — vgicp_max_iterations=1 (registration share)
+      features only      — vmapped extract_features on the same inputs
+
+    Differences between medians estimate per-stage device time; every
+    variant pays the same ~0.4 ms dispatch floor, which cancels.
+    """
+    import dataclasses
+    import jax.numpy as jnp
+    from bench import FLEET_CONFIG, _stage_inputs
+    from rgc_slam_tpu.parallel import fleet
+
+    cfg = FLEET_CONFIG
+    inputs, _ = _stage_inputs(cfg, B, n_timed + 6)
+
+    def run_variant(name, vcfg, only_features=False):
+        states = fleet.fleet_init(vcfg, B)
+        if only_features:
+            f = jax.jit(jax.vmap(functools.partial(F.extract_features, cfg=vcfg)))
+            step = lambda st, cl, im, sp: (st, f(cl))
+        else:
+            step = jax.jit(functools.partial(fleet.fleet_step, cfg=vcfg))
+        for k in range(4):
+            states, out = step(states, *inputs[k])
+        jax.block_until_ready(out)
+        reps = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for k in range(4, 4 + n_timed):
+                states, out = step(states, *inputs[k])
+            jax.block_until_ready(out)
+            reps.append((time.perf_counter() - t0) / n_timed * 1e3)
+        ms = statistics.median(reps)
+        print(f"{name:22s} {ms:8.3f} ms/fleet-step (B={B})", flush=True)
+        return ms
+
+    full = run_variant("full", cfg)
+    nomap = run_variant("mapping skipped", dataclasses.replace(
+        cfg, mapping_skip_frame=1_000_000_000))
+    lm1 = run_variant("nomap + LM capped 1", dataclasses.replace(
+        cfg, mapping_skip_frame=1_000_000_000, vgicp_max_iterations=1))
+    feat = run_variant("features only", cfg, only_features=True)
+    print(f"{'mapping share≈':22s} {full - nomap:8.3f} ms")
+    print(f"{'vgicp LM share≈':22s} {nomap - lm1:8.3f} ms")
+    print(f"{'features(+floor)≈':22s} {feat:8.3f} ms")
+    return dict(full=full, nomap=nomap, lm1=lm1, feat=feat)
+
+
+def fleet_breakdown(B: int = 128, iters: int = 20):
+    """DEPRECATED on the tunnel: scan-wrapped mega-programs mis-time by 1000x
+    (infra retry paths).  Kept for local-TPU use; prefer fleet_differential.
     """
     import jax.numpy as jnp
     from bench import FLEET_CONFIG, _stage_inputs
@@ -151,6 +200,8 @@ if __name__ == "__main__":
     import sys
 
     if "--fleet" in sys.argv:
-        fleet_breakdown()
+        i = sys.argv.index("--fleet")
+        b = int(sys.argv[i + 1]) if len(sys.argv) > i + 1 else 128
+        fleet_differential(b)
     else:
         main()

@@ -135,6 +135,8 @@ class SlamConfig:
     # "point": pcl::IterativeClosestPoint parity (point-to-point + Kabsch);
     # "gicp": distribution-to-distribution alignment (ops/gicp) — tighter
     # basin from large drift, costs kNN covariance estimation per attempt
+    # "plane": point-to-plane (target normals from kNN covariances) — wider
+    # basin than point-to-point at ~half the gicp cost
     loop_icp_method: str = "point"
     max_loops: int = 64
     pgo_iterations: int = 10

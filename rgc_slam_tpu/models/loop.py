@@ -266,6 +266,16 @@ def loop_closure_step(state: SlamState, loop_state: LoopState, cfg: SlamConfig):
             max_iters=cfg.loop_icp_iterations,
         )
         q_icp, t_icp, fitness, n_icp = res.q, res.t, res.fitness, res.n_corr
+    elif cfg.loop_icp_method == "plane":
+        from ..ops.gicp import p2plane_register
+        from ..utils import math3d as _m3
+
+        res = p2plane_register(
+            src, src_mask & have_cand, tgt, tgt_mask,
+            _m3.quat_identity(dtype), jnp.zeros(3, dtype), cfg,
+            max_iters=cfg.loop_icp_iterations,
+        )
+        q_icp, t_icp, fitness, n_icp = res.q, res.t, res.fitness, res.n_corr
     else:
         q_icp, t_icp, fitness, n_icp = icp_point2point(
             src, src_mask & have_cand, tgt, tgt_mask, 2.0 * radius,

@@ -170,6 +170,59 @@ def gicp_register(
     return RegistrationResult(q=q, t=t, fitness=fit, n_corr=n, iterations=it, H=H)
 
 
+def plane_normals(pts: jax.Array, mask: jax.Array, k: int = 20) -> jax.Array:
+    """Per-point unit normals: smallest-eigenvalue direction of the k-NN
+    covariance (the pcl::NormalEstimation analog, batched on the VPU)."""
+    from .covariance import eigh3x3
+
+    d2, idx = knn_ops.knn(pts, pts, mask, k)
+    near = pts[idx]
+    ok = mask[idx] & jnp.isfinite(d2)
+    w = ok.astype(pts.dtype)
+    wsum = jnp.maximum(jnp.sum(w, axis=1), 1.0)
+    mean = jnp.sum(near * w[..., None], axis=1) / wsum[:, None]
+    d = (near - mean[:, None, :]) * w[..., None]
+    cov = jnp.einsum("nki,nkj->nij", d, d) / wsum[:, None, None]
+    _, V = eigh3x3(cov + 1e-9 * jnp.eye(3, dtype=pts.dtype))
+    return V[..., 0]                                    # smallest-eig column
+
+
+def p2plane_register(
+    src: jax.Array, src_mask: jax.Array,
+    tgt: jax.Array, tgt_mask: jax.Array,
+    q0: jax.Array, t0: jax.Array,
+    cfg: SlamConfig,
+    knn_k: int = 20,
+    max_iters: int = 64,
+) -> RegistrationResult:
+    """Point-to-plane ICP through the same frozen-correspondence LM driver.
+
+    With ``Minv = n nᵀ`` the Mahalanobis form collapses to the point-to-plane
+    cost w·(nᵀ(μ - Tp))² — a wider convergence basin than point-to-point from
+    large loop drift (the reference uses pcl point-to-point,
+    RGC_mapping.cpp:2050-2081; this is the opt-in upgrade,
+    cfg.loop_icp_method="plane")."""
+    nrm = plane_normals(tgt, tgt_mask, knn_k)
+
+    def corr_fn(q, t):
+        Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
+        d2, idx = knn_ops.knn(Tp, tgt, tgt_mask, 1)
+        j = idx[:, 0]
+        valid = src_mask & (d2[:, 0] < cfg.vgicp_max_corr_dist**2)
+        n = nrm[j]
+        Minv = n[:, :, None] * n[:, None, :]
+        return Correspondences(
+            mean_B=tgt[j], Minv=Minv, w=valid.astype(src.dtype), valid=valid
+        )
+
+    q, t, cost, n, it, H = _lm_drive(corr_fn, src, q0, t0, cfg, max_iters)
+    Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
+    d2, _ = knn_ops.knn(Tp, tgt, tgt_mask, 1)
+    match = src_mask & (d2[:, 0] < cfg.vgicp_max_corr_dist**2)
+    fit = jnp.where(match, d2[:, 0], 0.0).sum() / jnp.maximum(jnp.sum(match), 1)
+    return RegistrationResult(q=q, t=t, fitness=fit, n_corr=n, iterations=it, H=H)
+
+
 def build_ndt_voxelmap(
     pts: jax.Array, mask: jax.Array, resolution: float, cap: int,
     min_eig_ratio: float = 0.01, probes: int = 16,

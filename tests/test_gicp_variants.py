@@ -128,3 +128,56 @@ def test_edge_factor_matches_geometry():
     p = jnp.array([0.5, 0.7, 0.0])
     r = fac.edge_residual(q, t, p, pa, pb, 1.0)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(r)), 0.7, atol=1e-6)
+
+
+def test_p2plane_register(cloud_pair):
+    """Point-to-plane recovers the transform on planar geometry, and does so
+    from LARGER initial drift than point-to-point (the wider-basin claim)."""
+    from rgc_slam_tpu.models.loop import icp_point2point
+
+    src, tgt, q_gt, t_gt = cloud_pair
+    n = src.shape[0]
+    res = jax.jit(
+        lambda s, t: gicp.p2plane_register(
+            s, jnp.ones(n, bool), t, jnp.ones(n, bool),
+            m3.quat_identity(), jnp.zeros(3), CFG,
+        )
+    )(jnp.asarray(src), jnp.asarray(tgt))
+    assert np.abs(np.asarray(res.t) - t_gt).max() < 0.02
+    dot = abs(float(jnp.sum(res.q * jnp.asarray(q_gt))))
+    assert dot > 0.99999, f"rotation mismatch, |<q,q_gt>|={dot}"
+
+    # larger drift: shift the target by 1.2 m — plane mode must still land
+    big_t = t_gt + np.array([1.2, -0.8, 0.0], np.float32)
+    tgt2 = np.asarray(
+        m3.quat_rotate(jnp.asarray(q_gt)[None], jnp.asarray(src))
+    ) + big_t
+    res2 = gicp.p2plane_register(
+        jnp.asarray(src), jnp.ones(n, bool), jnp.asarray(tgt2), jnp.ones(n, bool),
+        m3.quat_identity(), jnp.zeros(3), CFG, max_iters=96,
+    )
+    assert np.abs(np.asarray(res2.t) - big_t).max() < 0.05
+
+
+def test_loop_plane_method_compiles():
+    import dataclasses
+    import functools
+    from rgc_slam_tpu.models import loop as loop_mod
+    from rgc_slam_tpu.models.slam import SlamState
+
+    cfg = dataclasses.replace(CFG, loop_icp_method="plane")
+    state = SlamState.init(cfg)
+    ls = loop_mod.LoopState.init(cfg)
+    state2, ls2, info = jax.jit(
+        functools.partial(loop_mod.loop_closure_step, cfg=cfg)
+    )(state, ls)
+    assert not bool(info.accepted)
+    assert int(ls2.loop_count) == 0
+
+
+def test_plane_normals_on_wall(rng):
+    pts = np.stack([
+        rng.uniform(0, 5, 400), rng.uniform(0, 5, 400), np.zeros(400)
+    ], 1).astype(np.float32) + rng.normal(0, 0.002, (400, 3)).astype(np.float32)
+    nrm = np.asarray(gicp.plane_normals(jnp.asarray(pts), jnp.ones(400, bool)))
+    assert np.abs(nrm[:, 2]).min() > 0.99  # all normals ~= +-z

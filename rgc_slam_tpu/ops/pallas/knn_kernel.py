@@ -93,10 +93,20 @@ def knn_pallas(queries, points, points_mask, k: int, interpret: bool = False):
 def knn_supported(qn: int, n: int, k: int) -> bool:
     """Shapes where the kernel both works and wins: lane-aligned point count,
     VMEM-fitting distance block, and a large enough problem that saved HBM
-    traffic beats the extra launch (measured crossover ~4M distance pairs)."""
+    traffic beats the extra launch (measured crossover ~4M distance pairs).
+
+    The VMEM budget must count the kernel's real live set, not just the d2
+    block: the column-index iota is a second [TQ, n] i32, and the unrolled
+    min-extraction keeps a masked d2 copy live — ~3x TQ*n*4 total.  Under
+    vmap (the fleet) Mosaic also double-buffers operand/output blocks across
+    the batch grid dimension.  Budgeting only the d2 block OOMed scoped VMEM
+    (32 MB vs the 16 MB limit) at n=32768 inside a vmapped fleet step; an
+    8 MB cap on the live-set estimate leaves margin for the double
+    buffering.  Oversize shapes fall back to the XLA top_k path, which is
+    correct everywhere."""
     if n % LANE != 0:
         return False
     if qn * n < 4 * 1024 * 1024:
         return False
-    vmem_bytes = TQ * n * 4 + n * 16 + n * 4
-    return vmem_bytes < 12 * 1024 * 1024 and k <= 16
+    vmem_bytes = 3 * TQ * n * 4 + n * 16 + n * 4
+    return vmem_bytes < 8 * 1024 * 1024 and k <= 16

@@ -42,6 +42,10 @@ def main(argv=None):
     ap.add_argument("--viz-every", type=int, metavar="N", default=0,
                     help="rewrite viewer.html every N scans with "
                          "auto-refresh (live rviz stand-in)")
+    ap.add_argument("--fleet", type=int, metavar="B", default=0,
+                    help="run B SLAM instances per chip (vmap fleet, "
+                         "BASELINE config 5); the source stream is "
+                         "replicated to every robot")
     args = ap.parse_args(argv)
 
     import jax
@@ -135,12 +139,60 @@ def main(argv=None):
 
         feed = gen()
 
+    # ---- fleet mode: B vmapped instances, one chip (BASELINE config 5) ----
+    if args.fleet:
+        import functools
+        import time as _time
+
+        import jax.numpy as jnp
+
+        from .parallel import fleet
+
+        B = args.fleet
+        states = fleet.fleet_init(cfg, B)
+        fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
+        metrics = Metrics()
+        n = 0
+        t0 = _time.perf_counter()
+        for item in feed:
+            batched = jax.tree.map(
+                lambda a: jnp.broadcast_to(a, (B,) + a.shape),
+                (item["cloud"], item["imu"]),
+            )
+            stamps = jnp.broadcast_to(
+                jnp.asarray(item["stamp"], jnp.float32), (B,)
+            )
+            states, outs = fstep(states, batched[0], batched[1], stamps)
+            n += 1
+            if n % 50 == 0:
+                fit = np.asarray(outs.fitness)
+                print(f"  scan {n}: fleet fitness med={np.median(fit):.4f} "
+                      f"max={fit.max():.4f}")
+        jax.block_until_ready(states)
+        wall = _time.perf_counter() - t0
+        tm = np.asarray(outs.t_map)
+        metrics.log(n, robots=B, scans_per_sec=round(n * B / wall, 1),
+                    cross_robot_spread_m=float(np.abs(tm - tm[:1]).max()))
+        metrics.dump(os.path.join(args.out_dir, "fleet_metrics.jsonl"))
+        np.savetxt(os.path.join(args.out_dir, "fleet_final_poses.txt"), tm)
+        print(f"fleet {B}x{n} scans in {wall:.1f}s "
+              f"({n * B / wall:.0f} scans/sec) -> {args.out_dir}")
+        return
+
     # ---- engine ----
     system = SlamSystem(cfg)
     if args.localize:
         from .utils.checkpoint import restore
 
-        restored, _ = restore(args.localize, SlamState.init(cfg))
+        # checkpoints are SlamSystem.save tuples: (state,) or (state, loop)
+        from .models.loop import LoopState
+
+        try:
+            (restored, _loop), _ = restore(
+                args.localize, (SlamState.init(cfg), LoopState.init(cfg))
+            )
+        except Exception:
+            (restored,), _ = restore(args.localize, (SlamState.init(cfg),))
         system.state = system.state.replace(mapping=restored.mapping)
 
     timer = StageTimer(budget_ms=100.0)
@@ -193,9 +245,7 @@ def main(argv=None):
     with open(os.path.join(args.out_dir, "timing.json"), "w") as f:
         json.dump(timer.summary(), f, indent=2)
     if args.save_ckpt:
-        from .utils.checkpoint import save
-
-        save(args.save_ckpt, system.state, step=n)
+        system.save(args.save_ckpt)
     print(f"processed {n} scans -> {args.out_dir}")
 
 

@@ -89,3 +89,46 @@ def test_cli_synthetic(tmp_path, monkeypatch):
     assert len(xyz) > 50 and np.isfinite(xyz).all()
     html = (out / "viewer.html").read_text()
     assert "<canvas" in html and "const DATA" in html
+
+
+@pytest.mark.slow
+def test_cli_ckpt_roundtrip(tmp_path, monkeypatch):
+    """--save-ckpt output must be loadable by --localize (same tuple format
+    as SlamSystem.save, with or without loop state in the checkpoint)."""
+    from rgc_slam_tpu import run as cli
+    import rgc_slam_tpu.io.synthetic as syn
+
+    orig = syn.generate_sequence
+
+    def small(**kw):
+        kw.update(n_azimuth=120)
+        return orig(**kw)
+
+    monkeypatch.setattr(syn, "generate_sequence", small)
+    ck = tmp_path / "ckpt"
+    cli.main(["--synthetic", "4", "--out-dir", str(tmp_path / "a"),
+              "--save-ckpt", str(ck)])  # loop enabled -> tuple w/ loop state
+    cli.main(["--synthetic", "3", "--out-dir", str(tmp_path / "b"),
+              "--localize", str(ck)])
+    assert (tmp_path / "b" / "pose_evo.txt").exists()
+
+
+@pytest.mark.slow
+def test_cli_fleet_mode(tmp_path, monkeypatch):
+    """--fleet B runs the vmapped fleet and dumps fleet metrics + poses."""
+    from rgc_slam_tpu import run as cli
+    import rgc_slam_tpu.io.synthetic as syn
+
+    orig = syn.generate_sequence
+
+    def small(**kw):
+        kw.update(n_azimuth=120)
+        return orig(**kw)
+
+    monkeypatch.setattr(syn, "generate_sequence", small)
+    out = tmp_path / "f"
+    cli.main(["--synthetic", "4", "--out-dir", str(out), "--no-loop",
+              "--fleet", "3"])
+    poses = np.loadtxt(out / "fleet_final_poses.txt")
+    assert poses.shape == (3, 3) and np.isfinite(poses).all()
+    assert (out / "fleet_metrics.jsonl").exists()

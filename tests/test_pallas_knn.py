@@ -9,7 +9,9 @@ from rgc_slam_tpu.ops import knn as knn_ops
 from rgc_slam_tpu.ops.pallas.knn_kernel import knn_pallas, knn_supported
 
 
-@pytest.mark.parametrize("Q,N,K", [(200, 512, 5), (64, 256, 1), (130, 384, 3)])
+@pytest.mark.parametrize("Q,N,K", [(200, 512, 5), (64, 256, 1), (130, 384, 3),
+                                   (128, 8192, 5),   # multi point-tile path
+                                   (96, 5000, 4)])   # ragged tile padding
 def test_matches_xla_reference(rng, Q, N, K):
     q = jnp.asarray(rng.uniform(-10, 10, (Q, 3)), jnp.float32)
     p = jnp.asarray(rng.uniform(-10, 10, (N, 3)), jnp.float32)
@@ -30,6 +32,7 @@ def test_all_masked(rng):
 
 def test_supported_gate():
     assert knn_supported(2048, 8192, 5)
+    assert knn_supported(2048, 32768, 5)         # streaming tiles: no N cap
     assert not knn_supported(512, 2048, 5)       # too small to pay off
     assert not knn_supported(2048, 8000, 5)      # not lane-aligned
-    assert not knn_supported(2048, 1 << 22, 5)   # VMEM blowout
+    assert not knn_supported(2048, 8192, 17)     # k too large

@@ -96,3 +96,81 @@ def test_eigh3x3_reconstruction(seed):
     scale = max(1.0, float(np.abs(S).max()))
     assert np.abs(R - S).max() / scale < 5e-3
     assert (np.diff(np.asarray(evals)) >= -1e-4).all(), "ascending order"
+
+
+@settings(max_examples=15, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_preintegration_cov_psd_and_mean_parity(seed):
+    """For any masked IMU window: full-propagation means equal the light
+    path exactly; covariance stays symmetric PSD; Jacobian stays finite."""
+    from rgc_slam_tpu.ops import imu as imu_ops
+    from rgc_slam_tpu.types import ImuBatch
+
+    rng = np.random.default_rng(seed)
+    m = 24
+    ts = 0.005 * (1 + np.arange(m))
+    imu = ImuBatch(
+        t=jnp.asarray(ts, jnp.float32),
+        acc=jnp.asarray(rng.normal([0, 0, 9.81], 0.5, (m, 3)), jnp.float32),
+        gyr=jnp.asarray(rng.normal(0, 0.3, (m, 3)), jnp.float32),
+        mask=jnp.asarray(rng.random(m) > 0.2),
+    )
+    ba = jnp.asarray(rng.normal(0, 0.05, 3), jnp.float32)
+    bg = jnp.asarray(rng.normal(0, 0.01, 3), jnp.float32)
+    t0, t1 = jnp.asarray(0.0), jnp.asarray(0.15)
+    lite = imu_ops.preintegrate(imu, t0, t1, ba, bg)
+    full = imu_ops.preintegrate_full(imu, t0, t1, ba, bg)
+    np.testing.assert_allclose(np.asarray(full.delta_q), np.asarray(lite.delta_q), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(full.delta_p), np.asarray(lite.delta_p), atol=1e-6)
+    cov = np.asarray(full.cov)
+    np.testing.assert_allclose(cov, cov.T, atol=1e-9)
+    assert np.linalg.eigvalsh(cov).min() > -1e-8
+    assert np.isfinite(np.asarray(full.jac)).all()
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 10_000))
+def test_pgo_pin_and_chain_consistency(seed):
+    """For any drifted chain + exact loop: the pinned (oldest-loop) keyframe
+    keeps its pose exactly, and the solve never increases the loop residual."""
+    import dataclasses
+    from rgc_slam_tpu.config import TEST_CONFIG
+    from rgc_slam_tpu.models import loop as loop_mod
+    from rgc_slam_tpu.models.mapping import MappingState
+
+    rng = np.random.default_rng(seed)
+    cfg = dataclasses.replace(TEST_CONFIG, max_keyframes=48, max_loops=4)
+    K = 32
+    ms = MappingState.init(cfg)
+    gt_t = np.stack([np.arange(K) * 1.0, np.zeros(K), np.zeros(K)], 1)
+    est_t = gt_t + np.cumsum(rng.normal(0, 0.05, (K, 3)), axis=0)
+    est_yaw = np.cumsum(rng.normal(0, 0.01, K))
+    q = np.asarray(m3.ypr_to_quat(jnp.asarray(
+        np.stack([est_yaw, np.zeros(K), np.zeros(K)], 1), jnp.float32)))
+    ms = ms.replace(
+        kf_q=ms.kf_q.at[:K].set(q),
+        kf_t=ms.kf_t.at[:K].set(jnp.asarray(est_t, jnp.float32)),
+        kf_count=jnp.asarray(K, jnp.int32),
+        kf_travel=ms.kf_travel.at[:K].set(jnp.arange(K, dtype=jnp.float32)),
+    )
+    ls = loop_mod.LoopState.init(cfg)
+    i, j = K - 1, 5
+    rel_t = jnp.asarray(gt_t[i] - gt_t[j], jnp.float32)
+    ls = ls.replace(
+        loop_i=ls.loop_i.at[0].set(i), loop_j=ls.loop_j.at[0].set(j),
+        loop_t=ls.loop_t.at[0].set(rel_t),
+        loop_count=jnp.asarray(1, jnp.int32),
+    )
+    out = loop_mod._pgo_solve(ms, ls, cfg)
+    # pinned keyframe (oldest loop anchor, j) keeps its pose exactly
+    np.testing.assert_allclose(np.asarray(out.kf_t[j]), est_t[j], atol=1e-3)
+
+    def loop_err(kf_t, kf_q):
+        yaw_j = float(m3.quat_to_ypr(jnp.asarray(kf_q[j]))[0])
+        c, s = np.cos(yaw_j), np.sin(yaw_j)
+        Rj = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+        return np.linalg.norm(Rj.T @ (kf_t[i] - kf_t[j]) - np.asarray(rel_t))
+
+    before = loop_err(est_t, q)
+    after = loop_err(np.asarray(out.kf_t[:K]), np.asarray(out.kf_q[:K]))
+    assert after <= before + 1e-3

@@ -127,14 +127,35 @@ def slam_step(
 
 
 class SlamSystem:
-    """Host driver around the jitted step (and loop closure, once enabled)."""
+    """Host driver around the jitted step (and loop closure, once enabled).
 
-    def __init__(self, cfg: SlamConfig, enable_loop: Optional[bool] = None):
+    ``chunk`` > 1 compiles a program that advances ``chunk`` scans per
+    dispatch (python-unrolled): per-call overhead is paid once per chunk
+    instead of per scan (measured 3-5x throughput on dispatch-bound hosts;
+    see bench.py RGC_BENCH_CHUNK).  Use for buffered/offline replay — a
+    hard-real-time loop wants chunk=1 so every scan's pose is available
+    immediately.
+    """
+
+    def __init__(self, cfg: SlamConfig, enable_loop: Optional[bool] = None,
+                 chunk: int = 1):
         self.cfg = cfg
         self.state = SlamState.init(cfg)
         # NOTE: no donate_argnums on the state — donation measurably halves
         # throughput here (it serializes the async dispatch pipeline)
         self._step = jax.jit(functools.partial(slam_step, cfg=cfg))
+        self.chunk = chunk
+        self._chunk_step = None
+        if chunk > 1:
+            def chunk_step(state, *flat):
+                outs = []
+                for i in range(chunk):
+                    cloud, imu, stamp = flat[3 * i:3 * i + 3]
+                    state, out = slam_step(state, cloud, imu, stamp, cfg)
+                    outs.append(out)
+                return state, outs
+
+            self._chunk_step = jax.jit(chunk_step)
         self.enable_loop = cfg.loop_closure_enable if enable_loop is None else enable_loop
         self._loop_fn = None
         if self.enable_loop:
@@ -159,6 +180,35 @@ class SlamSystem:
                 self.state, self.loop_state
             )
         return out
+
+    def process_chunk(self, items):
+        """Advance ``len(items)`` scans in one dispatch (requires chunk > 1
+        at construction and len(items) == chunk; feed a final partial chunk
+        through ``process``).  items: [(cloud, imu, stamp), ...].  Loop
+        closure keeps its every-10-scans cadence, evaluated once per chunk
+        boundary crossed."""
+        assert self._chunk_step is not None and len(items) == self.chunk
+        flat = [
+            x
+            for (cloud, imu, stamp) in items
+            for x in (cloud, imu, jnp.asarray(stamp, jnp.float32))
+        ]
+        self.state, outs = self._chunk_step(self.state, *flat)
+        loops_due = (self._frame + self.chunk) // 10 - self._frame // 10
+        self._frame += self.chunk
+        for (cloud, imu, stamp), out in zip(items, outs):
+            self.trajectory.append(
+                (stamp, np.asarray(out.q_map), np.asarray(out.t_map))
+            )
+            self.odom_trajectory.append(
+                (stamp, np.asarray(out.q_odom), np.asarray(out.t_odom))
+            )
+        if self._loop_fn is not None:
+            for _ in range(loops_due):
+                self.state, self.loop_state, _ = self._loop_fn(
+                    self.state, self.loop_state
+                )
+        return outs
 
     def save(self, path: str):
         """Checkpoint the full session (SLAM + loop state) with orbax."""

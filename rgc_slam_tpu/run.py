@@ -46,6 +46,10 @@ def main(argv=None):
                     help="run B SLAM instances per chip (vmap fleet, "
                          "BASELINE config 5); the source stream is "
                          "replicated to every robot")
+    ap.add_argument("--chunk", type=int, metavar="C", default=1,
+                    help="advance C scans per device dispatch (buffered "
+                         "replay throughput lever, 3-5x on dispatch-bound "
+                         "hosts; per-scan budget timing is then per-chunk)")
     args = ap.parse_args(argv)
 
     import jax
@@ -180,7 +184,7 @@ def main(argv=None):
         return
 
     # ---- engine ----
-    system = SlamSystem(cfg)
+    system = SlamSystem(cfg, chunk=args.chunk)
     if args.localize:
         from .utils.checkpoint import restore
 
@@ -195,32 +199,58 @@ def main(argv=None):
             (restored,), _ = restore(args.localize, (SlamState.init(cfg),))
         system.state = system.state.replace(mapping=restored.mapping)
 
-    timer = StageTimer(budget_ms=100.0)
+    timer = StageTimer(budget_ms=100.0 * args.chunk)
     metrics = Metrics()
     n = 0
-    for item in feed:
+
+    def chunked(feed, size):
+        """Group the stream into size-C lists; the final partial group is
+        emitted as singletons (process path)."""
+        buf = []
+        for item in feed:
+            buf.append(item)
+            if len(buf) == size:
+                yield buf
+                buf = []
+        for item in buf:
+            yield [item]
+
+    for items in chunked(feed, max(args.chunk, 1)):
         # sync on the step outputs so timing.json measures compute, not
         # dispatch — otherwise the reference's >100 ms budget warning
         # (RGC_odometer.cpp:1360-1361) can never fire.  (On the tunneled TPU
-        # this adds an RPC round-trip per scan; bench.py, which never syncs
-        # per-step, owns the throughput story.)
+        # this adds an RPC round-trip per dispatch; bench.py, which never
+        # syncs per-step, owns the throughput story.)
         with timer.stage("scan"):
-            out = system.process(item["cloud"], item["imu"], item["stamp"])
-            jax.block_until_ready(out)
-        metrics.log(n, fitness=float(out.fitness), n_corr=int(out.n_corr),
-                    kf_added=bool(out.kf_added))
+            if len(items) == system.chunk and system.chunk > 1:
+                outs = system.process_chunk(
+                    [(i["cloud"], i["imu"], i["stamp"]) for i in items]
+                )
+            else:
+                outs = [
+                    system.process(i["cloud"], i["imu"], i["stamp"])
+                    for i in items
+                ]
+            jax.block_until_ready(outs)
+        out = outs[-1]
+        for kk, o in enumerate(outs):
+            metrics.log(n + kk, fitness=float(o.fitness),
+                        n_corr=int(o.n_corr), kf_added=bool(o.kf_added))
         if args.dump_frames:
             from .io.export import write_pcd
             from .utils.math3d import quat_rotate
 
             frames_dir = os.path.join(args.out_dir, "frames")
             os.makedirs(frames_dir, exist_ok=True)
-            mask = np.asarray(out.full_mask)
-            world = np.asarray(
-                quat_rotate(out.q_map[None, :], out.full_xyz) + out.t_map[None, :]
-            )[mask]
-            write_pcd(os.path.join(frames_dir, f"frame_{n:06d}.pcd"), world)
-        n += 1
+            for kk, o in enumerate(outs):
+                mask = np.asarray(o.full_mask)
+                world = np.asarray(
+                    quat_rotate(o.q_map[None, :], o.full_xyz) + o.t_map[None, :]
+                )[mask]
+                write_pcd(
+                    os.path.join(frames_dir, f"frame_{n + kk:06d}.pcd"), world
+                )
+        n += len(outs)
         if args.viz_every and n % args.viz_every == 0:
             from .io.viz import write_viewer
 

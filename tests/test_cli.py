@@ -132,3 +132,40 @@ def test_cli_fleet_mode(tmp_path, monkeypatch):
     poses = np.loadtxt(out / "fleet_final_poses.txt")
     assert poses.shape == (3, 3) and np.isfinite(poses).all()
     assert (out / "fleet_metrics.jsonl").exists()
+
+
+@pytest.mark.slow
+def test_chunked_system_matches_sequential(tmp_path):
+    """SlamSystem(chunk=3) must produce the same trajectory as chunk=1 (the
+    chunked program runs the identical per-scan computation; only dispatch
+    granularity changes)."""
+    import jax
+    import jax.numpy as jnp
+    from rgc_slam_tpu.config import TEST_CONFIG
+    from rgc_slam_tpu.io.convert import cloud_from_scan_dict, imu_from_interval
+    from rgc_slam_tpu.models.slam import SlamSystem
+
+    seq = synthetic.generate_sequence(
+        n_scans=9, n_azimuth=120, seed=9, extent=15.0, radius=6.0,
+        noise=0.004, closes_loop=False, speed=1.5,
+    )
+    items = []
+    for k in range(min(7, len(seq["scans"]))):
+        cloud = cloud_from_scan_dict(seq["scans"][k], TEST_CONFIG)
+        t_imu, acc, gyr = seq["imu"][k]
+        imu = imu_from_interval(t_imu, acc, gyr, TEST_CONFIG.max_imu)
+        items.append((cloud, imu, seq["stamps"][k]))
+
+    seq_sys = SlamSystem(TEST_CONFIG, enable_loop=False)
+    for cloud, imu, stamp in items:
+        seq_sys.process(cloud, imu, stamp)
+
+    chk_sys = SlamSystem(TEST_CONFIG, enable_loop=False, chunk=3)
+    chk_sys.process_chunk(items[0:3])
+    chk_sys.process_chunk(items[3:6])
+    chk_sys.process(*items[6])
+
+    t_seq = np.stack([t for _, _, t in seq_sys.trajectory])
+    t_chk = np.stack([t for _, _, t in chk_sys.trajectory])
+    assert t_seq.shape == t_chk.shape == (7, 3)
+    np.testing.assert_allclose(t_chk, t_seq, atol=1e-5)

@@ -13,7 +13,6 @@ Prints a markdown table (pasted into EVAL.md).
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
 import statistics
 import time

@@ -190,8 +190,9 @@ def main():
         ms = _time(fn, args)
         flops, byt = _cost(lambda *a: fn(*a), args)
         rows.append((name, ms, flops, byt))
-        print(f"{name:10s} {ms:8.3f} ms   flops={flops and flops/1e9:.3f} G  "
-              f"bytes={byt and byt/1e6:.1f} MB", flush=True)
+        fl = f"{flops / 1e9:.3f} G" if flops else "n/a"
+        by = f"{byt / 1e6:.1f} MB" if byt else "n/a"
+        print(f"{name:10s} {ms:8.3f} ms   flops={fl}  bytes={by}", flush=True)
     mapping_ms = rows[2][1] - rows[1][1] - rows[0][1]
     print(f"{'mapping≈':10s} {mapping_ms:8.3f} ms (full - odo - features)")
 

@@ -127,6 +127,11 @@ class SlamConfig:
 
     # ---- loop closure / PGO (ref RGC_mapping.cpp:154-160,2006-2466) ----
     loop_closure_enable: bool = True
+    # no-loop keyframe eviction inside mapping_step.  Disable for vmapped
+    # fleets: a batched lax.cond executes BOTH branches, so the inline
+    # compaction's store-permutation gathers would run every scan for every
+    # robot — use parallel/fleet.compact_fleet on a host cadence instead
+    inline_compaction: bool = True
     loop_search_radius: float = 15.0
     loop_travel_gate: float = 20.0        # travel-distance difference gate
     loop_submap_halfwidth: int = 50       # +/- keyframes in loop submap (ref ±50, RGC_mapping.cpp:157,2195)

@@ -491,18 +491,24 @@ class BagWriter:
             b"size": _u32(len(payload)),
         })
         self._f.write(_u32(len(hdr)) + hdr + _u32(len(wire)) + wire)
-        # per-connection index records (ver 1)
-        msgs = [(c, t) for c, t, _ in self._chunk if c >= 0]
-        times = [t for _, t in msgs]
-        by_conn: Dict[int, List[float]] = {}
-        for c, t in msgs:
-            by_conn.setdefault(c, []).append(t)
-        for c, ts in by_conn.items():
+        # per-connection index records (ver 1): each entry carries the
+        # message's byte offset within the UNCOMPRESSED chunk payload —
+        # standard rosbag readers seek by it, so 0 would make them re-read
+        # the chunk's first record for every message
+        by_conn: Dict[int, List] = {}
+        times = []
+        off = 0
+        for c, t, rec in self._chunk:
+            if c >= 0:
+                by_conn.setdefault(c, []).append((t, off))
+                times.append(t)
+            off += len(rec)
+        for c, entries in by_conn.items():
             ih = _encode_header({
                 b"op": bytes([OP_INDEX]), b"ver": _u32(1),
-                b"conn": _u32(c), b"count": _u32(len(ts)),
+                b"conn": _u32(c), b"count": _u32(len(entries)),
             })
-            idata = b"".join(_time(t) + _u32(0) for t in ts)
+            idata = b"".join(_time(t) + _u32(o) for t, o in entries)
             self._f.write(_u32(len(ih)) + ih + _u32(len(idata)) + idata)
         ci_hdr_fields = {
             b"op": bytes([OP_CHUNKINFO]), b"ver": _u32(1),
@@ -579,6 +585,16 @@ def scan_stream(
         valid = np.isfinite(xyz).all(axis=1)
         if pc["ring"] is not None:
             ring = pc["ring"]
+            # a ring channel wider than the configured sensor silently
+            # corrupts the organize step's per-ring bookkeeping (clipped
+            # gathers) — fail loudly with the config fix instead
+            if valid.any() and int(ring[valid].max()) >= n_scans_sensor:
+                raise ValueError(
+                    f"bag ring channel has rings up to "
+                    f"{int(ring[valid].max())} but the config expects "
+                    f"{n_scans_sensor} (set SlamConfig.n_scans to the "
+                    f"sensor's beam count)"
+                )
         else:
             ring, rv = ring_from_vertical_angle(xyz, n_scans_sensor)
             valid &= rv

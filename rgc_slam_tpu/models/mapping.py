@@ -497,10 +497,13 @@ def mapping_step(
     add_kf = (~has_kf) | (d_pos > cfg.keyframe_dist) | (d_ang > cfg.keyframe_angle)
     add_kf = add_kf & jnp.asarray(cfg.map_update)
 
-    if not cfg.loop_closure_enable:
+    if (not cfg.loop_closure_enable) and cfg.inline_compaction:
         # long-session eviction (no loop store to remap): thin the oldest
         # half when the store fills.  With loops enabled the compaction runs
         # in loop_closure_step instead, which also fixes loop indices.
+        # NOTE: under vmap this cond's predicate is batched and XLA executes
+        # BOTH branches every scan — fleets must set inline_compaction=False
+        # and call parallel/fleet.compact_fleet on a host cadence instead.
         state = jax.lax.cond(
             add_kf & (state.kf_count >= K),
             lambda s: compact_keyframe_store(s)[0],
@@ -508,7 +511,7 @@ def mapping_step(
             state,
         )
     # backstop: never write past capacity (reachable only if the host runs
-    # loops rarer than COMPACT_MARGIN scans, or not at all — fleet mode)
+    # loops/compaction rarer than COMPACT_MARGIN scans, or not at all)
     add_kf = add_kf & (state.kf_count < K)
 
     wi = jnp.clip(state.kf_count, 0, K - 1)

@@ -147,6 +147,18 @@ class SlamSystem:
         self.chunk = chunk
         self._chunk_step = None
         if chunk > 1:
+            from . import mapping as _mapping
+
+            if chunk > _mapping.COMPACT_MARGIN:
+                # eviction runs between dispatches (loop_closure_step /
+                # inline); a chunk longer than the capacity headroom could
+                # silently drop keyframes mid-dispatch via the backstop
+                raise ValueError(
+                    f"chunk={chunk} exceeds the keyframe-eviction headroom "
+                    f"(COMPACT_MARGIN={_mapping.COMPACT_MARGIN}); keyframes "
+                    f"added past capacity inside one dispatch would be "
+                    f"silently dropped"
+                )
             def chunk_step(state, *flat):
                 outs = []
                 for i in range(chunk):

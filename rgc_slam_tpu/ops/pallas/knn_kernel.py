@@ -147,4 +147,7 @@ def knn_supported(qn: int, n: int, k: int) -> bool:
         return False
     if qn * n < 4 * 1024 * 1024:
         return False
-    return k <= 16
+    # k=20 covers the gicp/normal-estimation paths (fast_gicp's
+    # k_correspondences default) — keeps their self-kNN off the XLA path's
+    # full [N, N] distance matrix (1 GB at the 16k loop-submap cap)
+    return k <= 24

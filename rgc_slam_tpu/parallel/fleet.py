@@ -41,6 +41,27 @@ def fleet_step(states: SlamState, clouds: PointCloud, imus: ImuBatch,
     return jax.vmap(functools.partial(slam_step, cfg=cfg))(states, clouds, imus, stamps)
 
 
+def compact_fleet(states: SlamState, cfg: SlamConfig) -> SlamState:
+    """Host-cadenced keyframe-store compaction for vmapped fleets.
+
+    mapping_step's inline eviction is a lax.cond whose predicate is
+    per-robot; under vmap XLA executes both branches, so every robot would
+    pay the store-permutation gathers every scan.  Fleets therefore run
+    with cfg.inline_compaction=False and call this every few scans (any
+    cadence < mapping.COMPACT_MARGIN keeps the store from hitting the
+    freeze backstop).  Each robot compacts only if its store is within
+    COMPACT_MARGIN of capacity (where-select per leaf, so under-capacity
+    robots keep their state bit-exact)."""
+    from ..models.mapping import COMPACT_MARGIN, compact_keyframe_store
+
+    def one(ms):
+        need = ms.kf_count >= ms.kf_q.shape[0] - COMPACT_MARGIN
+        ms2, _, _ = compact_keyframe_store(ms)
+        return jax.tree.map(lambda a, b: jnp.where(need, a, b), ms2, ms)
+
+    return states.replace(mapping=jax.vmap(one)(states.mapping))
+
+
 def make_mesh(n_dp: int, n_sp: int) -> Mesh:
     devs = np.asarray(jax.devices()[: n_dp * n_sp]).reshape(n_dp, n_sp)
     return Mesh(devs, axis_names=("dp", "sp"))

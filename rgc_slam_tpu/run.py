@@ -145,18 +145,31 @@ def main(argv=None):
 
     # ---- fleet mode: B vmapped instances, one chip (BASELINE config 5) ----
     if args.fleet:
+        import dataclasses
         import functools
         import time as _time
 
         import jax.numpy as jnp
 
+        from .models.mapping import COMPACT_MARGIN
         from .parallel import fleet
 
+        # fleet mode runs no loop-closure thread, so keyframe eviction must
+        # come from the host cadence below — and the inline (per-scan) cond
+        # would execute both branches under vmap (see fleet.compact_fleet)
+        if cfg.loop_closure_enable:
+            print("[fleet] loop closure disabled (not run in fleet mode); "
+                  "keyframe eviction runs on a host cadence instead")
+        cfg = dataclasses.replace(
+            cfg, loop_closure_enable=False, inline_compaction=False
+        )
         B = args.fleet
         states = fleet.fleet_init(cfg, B)
         fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
+        fcompact = jax.jit(functools.partial(fleet.compact_fleet, cfg=cfg))
         metrics = Metrics()
         n = 0
+        outs = None
         t0 = _time.perf_counter()
         for item in feed:
             batched = jax.tree.map(
@@ -168,10 +181,15 @@ def main(argv=None):
             )
             states, outs = fstep(states, batched[0], batched[1], stamps)
             n += 1
+            if n % (COMPACT_MARGIN // 2) == 0:
+                states = fcompact(states)
             if n % 50 == 0:
                 fit = np.asarray(outs.fitness)
                 print(f"  scan {n}: fleet fitness med={np.median(fit):.4f} "
                       f"max={fit.max():.4f}")
+        if outs is None:
+            print("fleet: no scans in the source (check topic names / file)")
+            return
         jax.block_until_ready(states)
         wall = _time.perf_counter() - t0
         tm = np.asarray(outs.t_map)
@@ -195,8 +213,17 @@ def main(argv=None):
             (restored, _loop), _ = restore(
                 args.localize, (SlamState.init(cfg), LoopState.init(cfg))
             )
-        except Exception:
-            (restored,), _ = restore(args.localize, (SlamState.init(cfg),))
+        except Exception as with_loop_err:
+            # the checkpoint may predate loop state (no-loop session); if
+            # that layout fails too, surface BOTH causes instead of masking
+            # the real restore error behind the fallback's mismatch message
+            try:
+                (restored,), _ = restore(args.localize, (SlamState.init(cfg),))
+            except Exception as no_loop_err:
+                raise RuntimeError(
+                    f"--localize failed for both checkpoint layouts: "
+                    f"with-loop: {with_loop_err}; without-loop: {no_loop_err}"
+                ) from with_loop_err
         system.state = system.state.replace(mapping=restored.mapping)
 
     timer = StageTimer(budget_ms=100.0 * args.chunk)
@@ -250,8 +277,11 @@ def main(argv=None):
                 write_pcd(
                     os.path.join(frames_dir, f"frame_{n + kk:06d}.pcd"), world
                 )
+        n_prev = n
         n += len(outs)
-        if args.viz_every and n % args.viz_every == 0:
+        # boundary-crossing test so --chunk C not dividing --viz-every still
+        # refreshes at the requested rate
+        if args.viz_every and n // args.viz_every > n_prev // args.viz_every:
             from .io.viz import write_viewer
 
             write_viewer(os.path.join(args.out_dir, "viewer.html"), system, cfg,

@@ -72,3 +72,50 @@ def test_sharded_fleet_on_virtual_mesh():
     np.testing.assert_allclose(
         float(mean_fit), float(np.mean(np.asarray(outs_ref.fitness))), atol=1e-3
     )
+
+
+def test_compact_fleet_evicts_only_at_capacity():
+    """compact_fleet must thin robots whose store is within COMPACT_MARGIN
+    of capacity and leave under-capacity robots bit-exact."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rgc_slam_tpu.config import TEST_CONFIG
+    from rgc_slam_tpu.models.mapping import COMPACT_MARGIN
+    from rgc_slam_tpu.parallel import fleet as fl
+
+    cfg = dataclasses.replace(TEST_CONFIG, max_keyframes=64)
+    B = 3
+    states = fl.fleet_init(cfg, B)
+    K = cfg.max_keyframes
+    # robot 0: nearly full (triggers), robot 1: below the margin, robot 2:
+    # empty.  (Eviction thins the oldest half, so capacity must exceed
+    # 2*COMPACT_MARGIN for the thinning to bite — real capacities are >=128.)
+    counts = jnp.asarray([K - 2, K - COMPACT_MARGIN - 1, 0], jnp.int32)
+    kf_t = jnp.tile(
+        jnp.arange(K, dtype=jnp.float32)[None, :, None], (B, 1, 3)
+    )
+    ms = states.mapping.replace(
+        kf_count=counts, kf_t=kf_t,
+        kf_travel=jnp.tile(jnp.arange(K, dtype=jnp.float32)[None], (B, 1)),
+    )
+    states = states.replace(mapping=ms)
+    out = jax.jit(lambda s: fl.compact_fleet(s, cfg))(states)
+    c = np.asarray(out.mapping.kf_count)
+    assert c[0] < K - 2, "full robot must be compacted"
+    assert c[1] == K - COMPACT_MARGIN - 1 and c[2] == 0, \
+        "under-capacity robots must not change"
+    np.testing.assert_array_equal(
+        np.asarray(out.mapping.kf_t[1]), np.asarray(kf_t[1])
+    )
+
+
+def test_chunk_exceeding_margin_rejected():
+    import pytest
+    from rgc_slam_tpu.config import TEST_CONFIG
+    from rgc_slam_tpu.models.mapping import COMPACT_MARGIN
+    from rgc_slam_tpu.models.slam import SlamSystem
+
+    with pytest.raises(ValueError, match="COMPACT_MARGIN"):
+        SlamSystem(TEST_CONFIG, enable_loop=False, chunk=COMPACT_MARGIN + 1)

@@ -11,7 +11,8 @@ from rgc_slam_tpu.ops.pallas.knn_kernel import knn_pallas, knn_supported
 
 @pytest.mark.parametrize("Q,N,K", [(200, 512, 5), (64, 256, 1), (130, 384, 3),
                                    (128, 8192, 5),   # multi point-tile path
-                                   (96, 5000, 4)])   # ragged tile padding
+                                   (96, 5000, 4),    # ragged tile padding
+                                   (100, 640, 20)])  # k=20 (gicp/normals path)
 def test_matches_xla_reference(rng, Q, N, K):
     q = jnp.asarray(rng.uniform(-10, 10, (Q, 3)), jnp.float32)
     p = jnp.asarray(rng.uniform(-10, 10, (N, 3)), jnp.float32)
@@ -35,4 +36,5 @@ def test_supported_gate():
     assert knn_supported(2048, 32768, 5)         # streaming tiles: no N cap
     assert not knn_supported(512, 2048, 5)       # too small to pay off
     assert not knn_supported(2048, 8000, 5)      # not lane-aligned
-    assert not knn_supported(2048, 8192, 17)     # k too large
+    assert knn_supported(2048, 8192, 20)         # gicp/normals k
+    assert not knn_supported(2048, 8192, 25)     # k too large

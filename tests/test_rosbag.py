@@ -131,3 +131,56 @@ def test_navsatfix_decode():
     assert abs(d["stamp"] - 5.5) < 1e-9
     assert d["lat"] == 31.5 and d["lon"] == 120.25 and d["alt"] == 12.0
     del raw
+
+
+def test_ring_exceeding_config_raises(tmp_path, rng):
+    """A 32-ring bag against a 16-scan config must fail loudly (VERDICT r2
+    review: silently clipped rings corrupt the organize bookkeeping)."""
+    path = str(tmp_path / "r32.bag")
+    with rb.BagWriter(path) as w:
+        xyz = rng.uniform(-10, 10, (100, 3)).astype(np.float32)
+        ring = rng.integers(0, 32, 100).astype(np.uint16)
+        ring[0] = 31
+        w.write("/velodyne_points", "sensor_msgs/PointCloud2", 1.0,
+                rb.encode_pointcloud2(1.0, xyz, None, ring, None))
+    with pytest.raises(ValueError, match="ring channel"):
+        list(rb.scan_stream(path, n_scans_sensor=16))
+
+
+def test_index_offsets_point_at_messages(tmp_path, rng):
+    """IndexData offsets must be each message's byte position in the
+    uncompressed chunk (standard rosbag readers seek by them)."""
+    path = str(tmp_path / "ix.bag")
+    _write_bag(path, np.random.default_rng(3), n_scans=4)
+    # collect (chunk payload, index entries) pairs by re-parsing records
+    with open(path, "rb") as f:
+        assert f.readline() == b"#ROSBAG V2.0\n"
+        data = f.read()
+    pos, chunks, indexes = 0, [], []
+    while pos < len(data):
+        hlen = int.from_bytes(data[pos:pos + 4], "little"); pos += 4
+        hdr = rb._parse_header(data[pos:pos + hlen]); pos += hlen
+        dlen = int.from_bytes(data[pos:pos + 4], "little"); pos += 4
+        payload = data[pos:pos + dlen]; pos += dlen
+        op = hdr[b"op"][0]
+        if op == 0x05:                                     # chunk
+            if hdr[b"compression"] == b"bz2":
+                import bz2
+                payload = bz2.decompress(payload)
+            chunks.append(payload)
+        elif op == 0x04:                                   # index
+            n = int.from_bytes(hdr[b"count"], "little")
+            offs = [int.from_bytes(payload[12 * i + 8:12 * i + 12], "little")
+                    for i in range(n)]
+            indexes.append((len(chunks) - 1, offs))
+    assert chunks and indexes
+    nonzero = 0
+    for ci, offs in indexes:
+        chunk = chunks[ci]
+        for o in offs:
+            # the record at offset o must be a message-data record (op=0x02)
+            hlen = int.from_bytes(chunk[o:o + 4], "little")
+            rec_hdr = rb._parse_header(chunk[o + 4:o + 4 + hlen])
+            assert rec_hdr[b"op"][0] == 0x02, f"offset {o} not a message"
+            nonzero += int(o > 0)
+    assert nonzero > 0, "all offsets zero — index is degenerate"

@@ -383,18 +383,43 @@ def preintegrate_full(
         v_new = v + un_acc * dt_i
         return q_new, p_new, v_new
 
-    def step(carry, inp):
-        q, p, v, sdt, cov, jac = carry            # cov: [21,21] augmented
+    # ---- phase 1: nominal trajectory per sample (cheap sequential scan) ----
+    def mean_step(carry, inp):
+        q, p, v, sdt = carry
         dt_i, a0, a1, g0, g1, valid = inp
         q_new, p_new, v_new = midpoint(q, p, v, ba, bg, a0, a1, g0, g1, dt_i)
+        out = (
+            jnp.where(valid, q_new, q),
+            jnp.where(valid, p_new, p),
+            jnp.where(valid, v_new, v),
+            sdt + jnp.where(valid, dt_i, 0.0),
+        )
+        # carry-IN state is the linearization point of sample k
+        return out, (q, p, v)
+
+    init = (
+        m3.quat_identity(dtype),
+        jnp.zeros(3, dtype),
+        jnp.zeros(3, dtype),
+        jnp.asarray(0.0, dtype),
+    )
+    xs = (dt, acc0s, imu.acc, gyr0s, imu.gyr, imu.mask)
+    (q, p, v, sdt), (qs, ps, vs) = jax.lax.scan(mean_step, init, xs)
+
+    # ---- phase 2: per-sample F/V by vmapped forward-mode autodiff ----
+    # (the 27 JVP columns AND the sample axis batch together on the VPU —
+    # the naive formulation ran jacfwd inside the scan, serializing the
+    # samples and making cfg.imu_cov_mode="preint" ~3x the IMU-path cost)
+    def linearize(q0_, p0_, v0_, dt_i, a0, a1, g0, g1):
+        q_new, p_new, v_new = midpoint(q0_, p0_, v0_, ba, bg, a0, a1, g0, g1, dt_i)
 
         def perturbed(z):
             """z = [xi(15), n_prev(6): a0/g0 noise, n_new(6): a1/g1 noise]
             -> augmented output tangent [x'(15), n_new(6)]."""
             xi, np_, nn = z[:15], z[15:21], z[21:27]
-            q_ = m3.quat_mul(q, m3.quat_exp(xi[3:6]))
+            q_ = m3.quat_mul(q0_, m3.quat_exp(xi[3:6]))
             q2, p2, v2 = midpoint(
-                q_, p + xi[:3], v + xi[6:9], ba + xi[9:12], bg + xi[12:15],
+                q_, p0_ + xi[:3], v0_ + xi[6:9], ba + xi[9:12], bg + xi[12:15],
                 a0 + np_[0:3], a1 + nn[0:3], g0 + np_[3:6], g1 + nn[3:6], dt_i,
             )
             th = m3.quat_log(m3.quat_mul(m3.quat_conj(q_new), q2))
@@ -402,46 +427,43 @@ def preintegrate_full(
                 [p2 - p_new, th, v2 - v_new, xi[9:12], xi[12:15], nn]
             )
 
-        FV = jax.jacfwd(perturbed)(jnp.zeros(27, dtype))   # [21, 27]
-        F_aug, V_aug = FV[:, :21], FV[:, 21:]              # [21,21], [21,6]
-        dts = jnp.maximum(dt_i, 1e-4)
-        qd = jnp.concatenate(
-            [
-                jnp.full((3,), acc_n**2 / dts, dtype),
-                jnp.full((3,), gyr_n**2 / dts, dtype),
-            ]
-        )
-        walk = jnp.concatenate(
-            [
-                jnp.zeros(9, dtype),
-                jnp.full((3,), acc_w**2 * dts, dtype),
-                jnp.full((3,), gyr_w**2 * dts, dtype),
-                jnp.zeros(6, dtype),
-            ]
-        )
-        cov_new = F_aug @ cov @ F_aug.T + (V_aug * qd[None, :]) @ V_aug.T \
-            + jnp.diag(walk)
-        jac_new = F_aug[:15, :15] @ jac
-        out = (
-            jnp.where(valid, q_new, q),
-            jnp.where(valid, p_new, p),
-            jnp.where(valid, v_new, v),
-            sdt + jnp.where(valid, dt_i, 0.0),
+        return jax.jacfwd(perturbed)(jnp.zeros(27, dtype))   # [21, 27]
+
+    FV = jax.vmap(linearize)(qs, ps, vs, dt, acc0s, imu.acc, gyr0s, imu.gyr)
+    F_aug, V_aug = FV[:, :, :21], FV[:, :, 21:]              # [m,21,21],[m,21,6]
+    dts = jnp.maximum(dt, 1e-4)
+    qd = jnp.concatenate(
+        [
+            jnp.broadcast_to((acc_n**2 / dts)[:, None], (dt.shape[0], 3)),
+            jnp.broadcast_to((gyr_n**2 / dts)[:, None], (dt.shape[0], 3)),
+        ],
+        axis=1,
+    )
+    walk_diag = jnp.concatenate(
+        [
+            jnp.zeros((dt.shape[0], 9), dtype),
+            jnp.broadcast_to((acc_w**2 * dts)[:, None], (dt.shape[0], 3)),
+            jnp.broadcast_to((gyr_w**2 * dts)[:, None], (dt.shape[0], 3)),
+            jnp.zeros((dt.shape[0], 6), dtype),
+        ],
+        axis=1,
+    )
+
+    # ---- phase 3: the 21x21 covariance / 15x15 Jacobian recurrence ----
+    def cov_step(carry, inp):
+        cov, jac = carry
+        Fk, Vk, qdk, wk, valid = inp
+        cov_new = Fk @ cov @ Fk.T + (Vk * qdk[None, :]) @ Vk.T + jnp.diag(wk)
+        jac_new = Fk[:15, :15] @ jac
+        return (
             jnp.where(valid, cov_new, cov),
             jnp.where(valid, jac_new, jac),
-        )
-        return out, None
+        ), None
 
-    init = (
-        m3.quat_identity(dtype),
-        jnp.zeros(3, dtype),
-        jnp.zeros(3, dtype),
-        jnp.asarray(0.0, dtype),
-        jnp.zeros((21, 21), dtype),
-        jnp.eye(15, dtype=dtype),
-    )
-    (q, p, v, sdt, cov, jac), _ = jax.lax.scan(
-        step, init, (dt, acc0s, imu.acc, gyr0s, imu.gyr, imu.mask)
+    (cov, jac), _ = jax.lax.scan(
+        cov_step,
+        (jnp.zeros((21, 21), dtype), jnp.eye(15, dtype=dtype)),
+        (F_aug, V_aug, qd, walk_diag, imu.mask),
     )
     return PreintegrationFull(
         delta_q=q, delta_p=p, delta_v=v, sum_dt=sdt, cov=cov[:15, :15], jac=jac

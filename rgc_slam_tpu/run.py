@@ -29,6 +29,11 @@ def main(argv=None):
     ap.add_argument("--imu-topic", default="/mynteye/imu/data_raw")
     ap.add_argument("--out-dir", default="slam_out")
     ap.add_argument("--no-imu", action="store_true")
+    ap.add_argument("--imu-cov-mode", choices=["reference", "preint"],
+                    default=None,
+                    help="DeltaR factor weight source: the reference's "
+                         "hardcoded constants, or the propagated 15-dim "
+                         "preintegration covariance (ops/imu)")
     ap.add_argument("--no-ground", action="store_true")
     ap.add_argument("--no-loop", action="store_true")
     ap.add_argument("--localize", metavar="CKPT",
@@ -62,6 +67,8 @@ def main(argv=None):
     overrides = {}
     if args.no_imu:
         overrides["use_imu"] = False
+    if args.imu_cov_mode:
+        overrides["imu_cov_mode"] = args.imu_cov_mode
     if args.no_ground:
         overrides["use_ground"] = False
     if args.no_loop:

@@ -137,6 +137,11 @@ class SlamConfig:
     loop_submap_halfwidth: int = 50       # +/- keyframes in loop submap (ref ±50, RGC_mapping.cpp:157,2195)
     loop_icp_iterations: int = 30
     loop_fitness_thresh: float = 0.1
+    # loop-submap downsample resolution.  The point-to-point fitness floor
+    # is the squared NN spacing of the submap, so this voxel directly sets
+    # what fitness an accepted loop can reach; 0 -> use map_surf_voxel
+    # (reference behavior: one ICP filter resolution, RGC_mapping.cpp:150)
+    loop_submap_voxel: float = 0.0
     # "point": pcl::IterativeClosestPoint parity (point-to-point + Kabsch);
     # "gicp": distribution-to-distribution alignment (ops/gicp) — tighter
     # basin from large drift, costs kNN covariance estimation per attempt

@@ -248,8 +248,9 @@ def loop_closure_step(state: SlamState, loop_state: LoopState, cfg: SlamConfig):
     sub_pts = sub_pts.reshape((2 * W + 1) * P, 3)
     sub_mask = sub_mask.reshape((2 * W + 1) * P)
     origin = ms.kf_t[cand]
+    sub_voxel = cfg.loop_submap_voxel or cfg.map_surf_voxel
     tgt, tgt_mask, _ = vh.voxel_downsample(
-        sub_pts - origin[None, :], sub_mask, cfg.map_surf_voxel,
+        sub_pts - origin[None, :], sub_mask, sub_voxel,
         cfg.max_loop_submap_points, probes=cfg.hash_probes,
     )
 

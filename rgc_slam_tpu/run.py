@@ -29,6 +29,9 @@ def main(argv=None):
     ap.add_argument("--imu-topic", default="/mynteye/imu/data_raw")
     ap.add_argument("--out-dir", default="slam_out")
     ap.add_argument("--no-imu", action="store_true")
+    ap.add_argument("--n-scans-sensor", type=int, metavar="N", default=0,
+                    help="sensor beam count (16/32/64); sets the ring "
+                         "bookkeeping and ground tables (default 16)")
     ap.add_argument("--imu-cov-mode", choices=["reference", "preint"],
                     default=None,
                     help="DeltaR factor weight source: the reference's "
@@ -69,6 +72,13 @@ def main(argv=None):
         overrides["use_imu"] = False
     if args.imu_cov_mode:
         overrides["imu_cov_mode"] = args.imu_cov_mode
+    if args.n_scans_sensor:
+        overrides["n_scans"] = args.n_scans_sensor
+        if args.n_scans_sensor > 32:
+            # no low-ring ground-elevation table for 64-beam sensors (ring 0
+            # is the highest beam) — config would raise (see
+            # SlamConfig.expected_ground_ranges); the KITTI preset does this
+            overrides["use_ground"] = False
     if args.no_ground:
         overrides["use_ground"] = False
     if args.no_loop:

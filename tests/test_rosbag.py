@@ -184,3 +184,16 @@ def test_index_offsets_point_at_messages(tmp_path, rng):
             assert rec_hdr[b"op"][0] == 0x02, f"offset {o} not a message"
             nonzero += int(o > 0)
     assert nonzero > 0, "all offsets zero — index is degenerate"
+
+
+def test_ring32_with_matching_config(tmp_path, rng):
+    """A 32-ring bag passes validation when the sensor config matches
+    (run.py --n-scans-sensor 32)."""
+    path = str(tmp_path / "ok32.bag")
+    with rb.BagWriter(path) as w:
+        xyz = rng.uniform(-10, 10, (100, 3)).astype(np.float32)
+        ring = rng.integers(0, 32, 100).astype(np.uint16)
+        w.write("/velodyne_points", "sensor_msgs/PointCloud2", 1.0,
+                rb.encode_pointcloud2(1.0, xyz, None, ring, None))
+    scans = list(rb.scan_stream(path, n_scans_sensor=32))
+    assert len(scans) == 1 and scans[0]["ring"].max() < 32

@@ -246,6 +246,17 @@ def main(argv=None):
     timer = StageTimer(budget_ms=100.0 * args.chunk)
     metrics = Metrics()
     n = 0
+    frame_sink = None
+    if args.dump_frames:
+        # async native PCD writer: frames queue into a bounded ring drained
+        # by a C++ thread, so disk writes never stall the replay loop
+        try:
+            from .runtime.loader import PcdSink
+
+            frame_sink = PcdSink(os.path.join(args.out_dir, "frames"))
+        except Exception as e:
+            print(f"[rgc-slam-tpu] native PCD sink unavailable ({e}); "
+                  "falling back to synchronous writes")
 
     def chunked(feed, size):
         """Group the stream into size-C lists; the final partial group is
@@ -281,7 +292,6 @@ def main(argv=None):
             metrics.log(n + kk, fitness=float(o.fitness),
                         n_corr=int(o.n_corr), kf_added=bool(o.kf_added))
         if args.dump_frames:
-            from .io.export import write_pcd
             from .utils.math3d import quat_rotate
 
             frames_dir = os.path.join(args.out_dir, "frames")
@@ -291,9 +301,15 @@ def main(argv=None):
                 world = np.asarray(
                     quat_rotate(o.q_map[None, :], o.full_xyz) + o.t_map[None, :]
                 )[mask]
-                write_pcd(
-                    os.path.join(frames_dir, f"frame_{n + kk:06d}.pcd"), world
-                )
+                if frame_sink is not None:
+                    frame_sink.push(n + kk, world)
+                else:
+                    from .io.export import write_pcd
+
+                    write_pcd(
+                        os.path.join(frames_dir, f"frame_{n + kk:06d}.pcd"),
+                        world,
+                    )
         n_prev = n
         n += len(outs)
         # boundary-crossing test so --chunk C not dividing --viz-every still
@@ -305,6 +321,11 @@ def main(argv=None):
                          refresh_s=2.0)
         if n % 50 == 0:
             print(f"  scan {n}: t={np.asarray(out.t_map).round(2)}")
+
+    if frame_sink is not None:
+        errs = frame_sink.close()
+        if errs:
+            print(f"[rgc-slam-tpu] PCD sink: {errs} write errors")
 
     # ---- outputs (the reference's pose_evo.txt / PCD surface) ----
     system.dump_tum(os.path.join(args.out_dir, "pose_evo.txt"), "map")

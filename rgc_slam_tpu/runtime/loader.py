@@ -65,6 +65,15 @@ def get_lib() -> ctypes.CDLL:
         ]
         lib.slog_close.restype = ctypes.c_int
         lib.slog_close.argtypes = [ctypes.c_void_p]
+        lib.pcd_sink_open.restype = ctypes.c_void_p
+        lib.pcd_sink_open.argtypes = [ctypes.c_char_p, ctypes.c_uint32]
+        lib.pcd_sink_push.restype = ctypes.c_int
+        lib.pcd_sink_push.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.pcd_sink_close.restype = ctypes.c_int
+        lib.pcd_sink_close.argtypes = [ctypes.c_void_p]
         _lib = lib
     return _lib
 
@@ -199,3 +208,40 @@ def write_sequence(path: str, seq: dict, n_rings: int = 16):
                 seq["stamps"][k], scan["xyz"][m], scan["intensity"][m],
                 scan["rel_time"][m], scan["ring"][m], t_imu, acc, gyr,
             )
+
+
+class PcdSink:
+    """Async per-frame PCD writer: frames go into a native bounded queue and
+    a background thread writes them, so the replay loop never stalls on disk
+    (the reference writes per-frame PCDs inline on its odometry thread,
+    RGC_odometer.cpp:1353-1354).  push blocks only when the queue is full
+    (backpressure — bounded memory, lossless)."""
+
+    def __init__(self, out_dir: str, ring_slots: int = 8):
+        os.makedirs(out_dir, exist_ok=True)
+        self._lib = get_lib()
+        self._h = self._lib.pcd_sink_open(out_dir.encode(), ring_slots)
+        if not self._h:
+            raise IOError(f"cannot open PCD sink at {out_dir}")
+
+    def push(self, index: int, xyz: np.ndarray):
+        xyz = np.ascontiguousarray(xyz, np.float32)
+        rc = self._lib.pcd_sink_push(
+            self._h, index, len(xyz), _fp(xyz, ctypes.c_float)
+        )
+        if rc != 0:
+            raise IOError("PCD sink closed")
+
+    def close(self) -> int:
+        """Drains and joins; returns the number of write errors."""
+        if self._h:
+            err = self._lib.pcd_sink_close(self._h)
+            self._h = None
+            return err
+        return 0
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()

@@ -19,6 +19,12 @@
 //   slog_start_prefetch(handle, ring_slots, pad_points, pad_imu)
 //   slog_next(handle, ...)  -> blocking pop of the next padded scan
 //   slog_close
+//
+// Async PCD sink (the OUTPUT mirror of the prefetch ring): per-frame cloud
+// dumps (ref RGC_odometer.cpp:1353-1354 writes PCDs inline on its odometry
+// thread) are staged into a bounded queue and written by a background
+// thread, so the replay loop never stalls on disk:
+//   pcd_sink_open(dir, ring_slots) / pcd_sink_push / pcd_sink_close
 
 #include <atomic>
 #include <condition_variable>
@@ -258,6 +264,110 @@ int slog_close(void* handle) {
   fclose(r->f);
   delete r;
   return 0;
+}
+
+}  // extern "C"
+
+// -------------------------------------------------------- async PCD sink --
+struct SinkFrame {
+  uint32_t index = 0;
+  std::vector<float> xyz;   // n * 3
+};
+
+struct Sink {
+  std::string dir;
+  std::queue<SinkFrame> q;
+  std::mutex mu;
+  std::condition_variable cv_push, cv_pop;
+  uint32_t cap = 8;
+  bool running = false;
+  std::thread worker;
+  std::atomic<int> errors{0};
+};
+
+static void sink_write_pcd(Sink* s, const SinkFrame& fr) {
+  char path[4096];
+  snprintf(path, sizeof(path), "%s/frame_%06u.pcd", s->dir.c_str(), fr.index);
+  FILE* f = fopen(path, "wb");
+  if (!f) {
+    s->errors++;
+    return;
+  }
+  const uint32_t n = static_cast<uint32_t>(fr.xyz.size() / 3);
+  fprintf(f,
+          "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
+          "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+          "WIDTH %u\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS %u\n"
+          "DATA binary\n",
+          n, n);
+  if (n && fwrite(fr.xyz.data(), sizeof(float) * 3, n, f) != n) s->errors++;
+  fclose(f);
+}
+
+static void sink_loop(Sink* s) {
+  while (true) {
+    SinkFrame fr;
+    {
+      std::unique_lock<std::mutex> lk(s->mu);
+      s->cv_pop.wait(lk, [s] { return !s->q.empty() || !s->running; });
+      if (s->q.empty()) {
+        if (!s->running) break;
+        continue;
+      }
+      fr = std::move(s->q.front());
+      s->q.pop();
+      s->cv_push.notify_one();
+    }
+    sink_write_pcd(s, fr);
+  }
+}
+
+extern "C" {
+
+void* pcd_sink_open(const char* dir, uint32_t ring_slots) {
+  auto* s = new Sink;
+  s->dir = dir;
+  s->cap = ring_slots ? ring_slots : 8;
+  s->running = true;
+  s->worker = std::thread(sink_loop, s);
+  return s;
+}
+
+// Blocks only when the queue is full (disk slower than the engine) —
+// bounded memory, lossless.
+int pcd_sink_push(void* handle, uint32_t index, uint32_t n, const float* xyz) {
+  auto* s = static_cast<Sink*>(handle);
+  if (!s || !s->running) return 1;
+  SinkFrame fr;
+  fr.index = index;
+  fr.xyz.assign(xyz, xyz + 3ull * n);
+  std::unique_lock<std::mutex> lk(s->mu);
+  s->cv_push.wait(lk, [s] { return s->q.size() < s->cap || !s->running; });
+  if (!s->running) return 1;
+  s->q.push(std::move(fr));
+  s->cv_pop.notify_one();
+  return 0;
+}
+
+// Drains the queue, joins the writer; returns the number of write errors.
+int pcd_sink_close(void* handle) {
+  auto* s = static_cast<Sink*>(handle);
+  if (!s) return -1;
+  {
+    std::unique_lock<std::mutex> lk(s->mu);
+    s->running = false;
+  }
+  s->cv_pop.notify_all();
+  s->cv_push.notify_all();
+  if (s->worker.joinable()) s->worker.join();
+  // drain anything the worker didn't get to before the wakeup
+  while (!s->q.empty()) {
+    sink_write_pcd(s, s->q.front());
+    s->q.pop();
+  }
+  int err = s->errors.load();
+  delete s;
+  return err;
 }
 
 }  // extern "C"

@@ -181,29 +181,62 @@ def main(argv=None):
             cfg, loop_closure_enable=False, inline_compaction=False
         )
         B = args.fleet
+        C = max(args.chunk, 1)
+        if C >= COMPACT_MARGIN:
+            raise SystemExit(
+                f"--chunk {C} with --fleet must stay under the eviction "
+                f"cadence (COMPACT_MARGIN={COMPACT_MARGIN})"
+            )
         states = fleet.fleet_init(cfg, B)
         fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
         fcompact = jax.jit(functools.partial(fleet.compact_fleet, cfg=cfg))
+        if C > 1:
+            # chunked dispatch (bench.py's 3-5x lever) for the fleet too
+            def fleet_chunk(states, *flat):
+                outs = None
+                for i in range(C):
+                    states, outs = fleet.fleet_step(
+                        states, *flat[3 * i:3 * i + 3], cfg=cfg
+                    )
+                return states, outs
+
+            fchunk = jax.jit(fleet_chunk)
         metrics = Metrics()
         n = 0
         outs = None
+        buf = []
         t0 = _time.perf_counter()
-        for item in feed:
-            batched = jax.tree.map(
+
+        def batch(item):
+            b = jax.tree.map(
                 lambda a: jnp.broadcast_to(a, (B,) + a.shape),
                 (item["cloud"], item["imu"]),
             )
             stamps = jnp.broadcast_to(
                 jnp.asarray(item["stamp"], jnp.float32), (B,)
             )
-            states, outs = fstep(states, batched[0], batched[1], stamps)
-            n += 1
-            if n % (COMPACT_MARGIN // 2) == 0:
+            return (b[0], b[1], stamps)
+
+        for item in feed:
+            buf.append(batch(item))
+            if len(buf) < C:
+                continue
+            if C > 1:
+                flat = [x for triple in buf for x in triple]
+                states, outs = fchunk(states, *flat)
+            else:
+                states, outs = fstep(states, *buf[0])
+            n += len(buf)
+            buf = []
+            if n % COMPACT_MARGIN < C:
                 states = fcompact(states)
-            if n % 50 == 0:
+            if n % 50 < C:
                 fit = np.asarray(outs.fitness)
                 print(f"  scan {n}: fleet fitness med={np.median(fit):.4f} "
                       f"max={fit.max():.4f}")
+        for triple in buf:                       # trailing partial chunk
+            states, outs = fstep(states, *triple)
+            n += 1
         if outs is None:
             print("fleet: no scans in the source (check topic names / file)")
             return

@@ -127,8 +127,10 @@ def test_cli_fleet_mode(tmp_path, monkeypatch):
 
     monkeypatch.setattr(syn, "generate_sequence", small)
     out = tmp_path / "f"
+    # chunk 2 over an odd scan count: covers the chunked fleet dispatch AND
+    # the trailing-partial-chunk path
     cli.main(["--synthetic", "4", "--out-dir", str(out), "--no-loop",
-              "--fleet", "3"])
+              "--fleet", "3", "--chunk", "2"])
     poses = np.loadtxt(out / "fleet_final_poses.txt")
     assert poses.shape == (3, 3) and np.isfinite(poses).all()
     assert (out / "fleet_metrics.jsonl").exists()

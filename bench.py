@@ -180,15 +180,9 @@ def main():
     flops_step = _flops_per_call(fstep.lower(states, *inputs[0]).compile())
 
     if CHUNK > 1:
-        def chunk_step(states, *chunk_inputs):
-            outs = None
-            for i in range(CHUNK):
-                states, outs = fleet.fleet_step(
-                    states, *chunk_inputs[3 * i:3 * i + 3], cfg=cfg
-                )
-            return states, outs
+        from rgc_slam_tpu.models.slam import make_chunk_step
 
-        cstep = jax.jit(chunk_step)
+        cstep = make_chunk_step(functools.partial(fleet.fleet_step, cfg=cfg), CHUNK)
         n_timed = (n_timed // CHUNK) * CHUNK
 
         def run_window(states):

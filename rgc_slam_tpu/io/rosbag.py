@@ -592,8 +592,9 @@ def scan_stream(
                 raise ValueError(
                     f"bag ring channel has rings up to "
                     f"{int(ring[valid].max())} but the config expects "
-                    f"{n_scans_sensor} (set SlamConfig.n_scans to the "
-                    f"sensor's beam count)"
+                    f"{n_scans_sensor} — pass --n-scans-sensor "
+                    f"{int(ring[valid].max()) + 1} on the CLI (or set "
+                    f"SlamConfig.n_scans) to match the sensor"
                 )
         else:
             ring, rv = ring_from_vertical_angle(xyz, n_scans_sensor)

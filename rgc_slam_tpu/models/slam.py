@@ -126,6 +126,25 @@ def slam_step(
     return SlamState(odo=odo_state, mapping=map_state), out
 
 
+def make_chunk_step(step_fn, chunk: int):
+    """Compile a program advancing ``chunk`` scans per dispatch.
+
+    ``step_fn(state, cloud, imu, stamp) -> (state, out)``; the returned
+    callable takes ``(state, *flat)`` where flat interleaves chunk
+    (cloud, imu, stamp) triples and returns ``(state, [out] * chunk)``.
+    Shared by SlamSystem.process_chunk, the fleet CLI, and bench.py — the
+    3-5x dispatch-amortization lever in one place."""
+
+    def chunk_step(state, *flat):
+        outs = []
+        for i in range(chunk):
+            state, out = step_fn(state, *flat[3 * i:3 * i + 3])
+            outs.append(out)
+        return state, outs
+
+    return jax.jit(chunk_step)
+
+
 class SlamSystem:
     """Host driver around the jitted step (and loop closure, once enabled).
 
@@ -159,15 +178,9 @@ class SlamSystem:
                     f"added past capacity inside one dispatch would be "
                     f"silently dropped"
                 )
-            def chunk_step(state, *flat):
-                outs = []
-                for i in range(chunk):
-                    cloud, imu, stamp = flat[3 * i:3 * i + 3]
-                    state, out = slam_step(state, cloud, imu, stamp, cfg)
-                    outs.append(out)
-                return state, outs
-
-            self._chunk_step = jax.jit(chunk_step)
+            self._chunk_step = make_chunk_step(
+                functools.partial(slam_step, cfg=cfg), chunk
+            )
         self.enable_loop = cfg.loop_closure_enable if enable_loop is None else enable_loop
         self._loop_fn = None
         if self.enable_loop:

@@ -41,7 +41,7 @@ def fleet_step(states: SlamState, clouds: PointCloud, imus: ImuBatch,
     return jax.vmap(functools.partial(slam_step, cfg=cfg))(states, clouds, imus, stamps)
 
 
-def compact_fleet(states: SlamState, cfg: SlamConfig) -> SlamState:
+def compact_fleet(states: SlamState) -> SlamState:
     """Host-cadenced keyframe-store compaction for vmapped fleets.
 
     mapping_step's inline eviction is a lax.cond whose predicate is

@@ -182,25 +182,23 @@ def main(argv=None):
         )
         B = args.fleet
         C = max(args.chunk, 1)
-        if C >= COMPACT_MARGIN:
+        if C > COMPACT_MARGIN:
+            # same bound as SlamSystem(chunk=...): eviction runs between
+            # dispatches, so a chunk must fit in the capacity headroom
             raise SystemExit(
-                f"--chunk {C} with --fleet must stay under the eviction "
-                f"cadence (COMPACT_MARGIN={COMPACT_MARGIN})"
+                f"--chunk {C} with --fleet exceeds the keyframe-eviction "
+                f"headroom (COMPACT_MARGIN={COMPACT_MARGIN})"
             )
         states = fleet.fleet_init(cfg, B)
         fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
-        fcompact = jax.jit(functools.partial(fleet.compact_fleet, cfg=cfg))
+        fcompact = jax.jit(fleet.compact_fleet)
         if C > 1:
             # chunked dispatch (bench.py's 3-5x lever) for the fleet too
-            def fleet_chunk(states, *flat):
-                outs = None
-                for i in range(C):
-                    states, outs = fleet.fleet_step(
-                        states, *flat[3 * i:3 * i + 3], cfg=cfg
-                    )
-                return states, outs
+            from .models.slam import make_chunk_step
 
-            fchunk = jax.jit(fleet_chunk)
+            fchunk = make_chunk_step(
+                functools.partial(fleet.fleet_step, cfg=cfg), C
+            )
         metrics = Metrics()
         n = 0
         outs = None
@@ -223,7 +221,8 @@ def main(argv=None):
                 continue
             if C > 1:
                 flat = [x for triple in buf for x in triple]
-                states, outs = fchunk(states, *flat)
+                states, chunk_outs = fchunk(states, *flat)
+                outs = chunk_outs[-1]
             else:
                 states, outs = fstep(states, *buf[0])
             n += len(buf)
@@ -303,7 +302,8 @@ def main(argv=None):
         for item in buf:
             yield [item]
 
-    for items in chunked(feed, max(args.chunk, 1)):
+    try:
+      for items in chunked(feed, max(args.chunk, 1)):
         # sync on the step outputs so timing.json measures compute, not
         # dispatch — otherwise the reference's >100 ms budget warning
         # (RGC_odometer.cpp:1360-1361) can never fire.  (On the tunneled TPU
@@ -354,11 +354,13 @@ def main(argv=None):
                          refresh_s=2.0)
         if n % 50 == 0:
             print(f"  scan {n}: t={np.asarray(out.t_map).round(2)}")
-
-    if frame_sink is not None:
-        errs = frame_sink.close()
-        if errs:
-            print(f"[rgc-slam-tpu] PCD sink: {errs} write errors")
+    finally:
+        # always drain/join the native writer thread — an exception mid-loop
+        # must not leak it or silently drop queued frames
+        if frame_sink is not None:
+            errs = frame_sink.close()
+            if errs:
+                print(f"[rgc-slam-tpu] PCD sink: {errs} write errors")
 
     # ---- outputs (the reference's pose_evo.txt / PCD surface) ----
     system.dump_tum(os.path.join(args.out_dir, "pose_evo.txt"), "map")

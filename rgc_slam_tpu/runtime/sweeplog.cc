@@ -294,14 +294,16 @@ static void sink_write_pcd(Sink* s, const SinkFrame& fr) {
     return;
   }
   const uint32_t n = static_cast<uint32_t>(fr.xyz.size() / 3);
-  fprintf(f,
-          "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
-          "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
-          "WIDTH %u\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS %u\n"
-          "DATA binary\n",
-          n, n);
-  if (n && fwrite(fr.xyz.data(), sizeof(float) * 3, n, f) != n) s->errors++;
-  fclose(f);
+  bool ok = fprintf(f,
+                    "# .PCD v0.7 - Point Cloud Data file format\nVERSION 0.7\n"
+                    "FIELDS x y z\nSIZE 4 4 4\nTYPE F F F\nCOUNT 1 1 1\n"
+                    "WIDTH %u\nHEIGHT 1\nVIEWPOINT 0 0 0 1 0 0 0\nPOINTS %u\n"
+                    "DATA binary\n",
+                    n, n) > 0;
+  if (n && fwrite(fr.xyz.data(), sizeof(float) * 3, n, f) != n) ok = false;
+  // fclose flushes stdio buffers — a full disk can surface only here
+  if (fclose(f) != 0) ok = false;
+  if (!ok) s->errors++;
 }
 
 static void sink_loop(Sink* s) {
@@ -360,11 +362,8 @@ int pcd_sink_close(void* handle) {
   s->cv_pop.notify_all();
   s->cv_push.notify_all();
   if (s->worker.joinable()) s->worker.join();
-  // drain anything the worker didn't get to before the wakeup
-  while (!s->q.empty()) {
-    sink_write_pcd(s, s->q.front());
-    s->q.pop();
-  }
+  // the worker only exits once the queue is empty AND running is false,
+  // so everything pushed before close() is guaranteed on disk here
   int err = s->errors.load();
   delete s;
   return err;

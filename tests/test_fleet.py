@@ -101,7 +101,7 @@ def test_compact_fleet_evicts_only_at_capacity():
         kf_travel=jnp.tile(jnp.arange(K, dtype=jnp.float32)[None], (B, 1)),
     )
     states = states.replace(mapping=ms)
-    out = jax.jit(lambda s: fl.compact_fleet(s, cfg))(states)
+    out = jax.jit(fl.compact_fleet)(states)
     c = np.asarray(out.mapping.kf_count)
     assert c[0] < K - 2, "full robot must be compacted"
     assert c[1] == K - COMPACT_MARGIN - 1 and c[2] == 0, \

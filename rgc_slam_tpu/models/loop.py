@@ -399,6 +399,15 @@ def _pgo_solve(ms: MappingState, ls: LoopState, cfg: SlamConfig) -> MappingState
     yaw_ij_meas = m3.wrap_angle(yaw0[1:] - yaw0[:-1])
     chain_w = (valid[1:] & valid[:-1]).astype(dtype)
 
+    # the reference parametrizes yaw in DEGREES (euler_array carries degrees,
+    # FourDOFError's angle residual is degree-wrapped while the translation
+    # rows are meters, RGC_mapping.cpp:2352-2360).  Matching that unit mix
+    # reproduces its implicit yaw-vs-translation weighting (yaw errors count
+    # 180/pi times as much).  Scaling BOTH the variable and the residual keeps
+    # the chain block of J^T J at identity, so CG conditioning is unchanged.
+    RAD2DEG = jnp.asarray(57.29577951308232, dtype)
+    yaw_scale = jnp.array([1.0, 1.0, 1.0, RAD2DEG], dtype)
+
     loops_ok = (ls.loop_i >= 0) & (ls.loop_i < ms.kf_count) & (ls.loop_j >= 0)
     loop_w = loops_ok.astype(dtype)
     li = jnp.clip(ls.loop_i, 0, K - 1)
@@ -409,7 +418,7 @@ def _pgo_solve(ms: MappingState, ls: LoopState, cfg: SlamConfig) -> MappingState
     pinned = jnp.clip(oldest, 0, K - 1)
 
     def unpack(x):
-        dyaw = x[:K]
+        dyaw = x[:K] / RAD2DEG     # stored in degrees; used in radians
         dt = x[K:].reshape(K, 3)
         return dyaw, dt
 
@@ -430,7 +439,7 @@ def _pgo_solve(ms: MappingState, ls: LoopState, cfg: SlamConfig) -> MappingState
         r_chain = jnp.concatenate(
             [
                 (dt[1:] - t_ij_meas) * chain_w[:, None],
-                (m3.wrap_angle(dyaw[1:] - yaw_ij_meas) * chain_w)[:, None],
+                (m3.wrap_angle(dyaw[1:] - yaw_ij_meas) * RAD2DEG * chain_w)[:, None],
             ],
             axis=1,
         )
@@ -441,14 +450,14 @@ def _pgo_solve(ms: MappingState, ls: LoopState, cfg: SlamConfig) -> MappingState
             return fac.fourdof_residual(
                 yaw[lj[k]], t[lj[k]], yaw[li[k]], t[li[k]],
                 ls.loop_t[k], ls.loop_yaw[k], ls.loop_pitch_j[k], ls.loop_roll_j[k],
-            )
+            ) * yaw_scale
 
         r_loop = jax.vmap(loop_res)(jnp.arange(L)) * loop_w[:, None]
         return jnp.concatenate([r_chain.reshape(-1), r_loop.reshape(-1)])
 
     x0 = jnp.concatenate(
         [
-            jnp.concatenate([yaw0[:1], yaw_ij_meas]),
+            jnp.concatenate([yaw0[:1], yaw_ij_meas]) * RAD2DEG,
             jnp.concatenate([t0[:1], t_ij_meas], axis=0).reshape(-1),
         ]
     )

@@ -376,20 +376,32 @@ def _fit_ground(xyz, r, ring, mask, pos_in_ring, count_of_ring, cfg: SlamConfig,
     gsi = cfg.ground_scan_rings
     in_ground_rings = mask & (ring < gsi) & (pos_in_ring >= 5) & (pos_in_ring < count_of_ring - 5)
     ring_c = jnp.clip(ring, 0, gsi)
-    gate = cfg.ground_range_gate * (1.0 + ring.astype(dtype) / (gsi - 1))
+    # `i / (groundScanInd-1)` in the C++ is INTEGER division (both ints,
+    # scanRegistration.cpp:323-325): the gate and weight are step functions
+    # of the ring, not linear ramps — 0.8/1.5 for rings 0..gsi-2, 1.6/0.5
+    # for ring gsi-1
+    ring_step = (ring // (gsi - 1)).astype(dtype)
+    gate = cfg.ground_range_gate * (1.0 + ring_step)
     seed = (
         in_ground_rings
         & (jnp.abs(r - expected[ring_c]) < gate)
         & (xyz[:, 2] < cfg.ground_z_max)
     )
-    # neighbor flood ±5 where range is continuous (cpp:333-348)
-    gmask = jnp.zeros((n,), bool)
-    for o in range(-5, 5):
-        cond = jnp.abs(jnp.roll(r, -o) - r) < (gate / 2.0)
-        gmask = gmask | (jnp.roll(seed & mask, -o) & cond)
-    gmask = (gmask | seed) & mask & (ring < gsi)
+    # neighbor flood + per-push weights (cpp:333-348): each seed i pushes
+    # the neighbors j = i+n, n in [-5, 4] that pass |r[j] - r[i]| < gate_i/2
+    # (the SEED's ring gate), across ring boundaries in the flat array.  The
+    # C++ appends to nearGround once PER SEED, so a point flooded by several
+    # seeds enters the moments and the robustified-distance pass multiple
+    # times — reproduced here as multiplicity/weight accumulators.
+    gw_all = 1.5 - ring_step                        # groundweight of a seed
+    w = jnp.zeros((n,), dtype)       # total push weight per point
+    mult = jnp.zeros((n,), dtype)    # push count per point
+    for o in range(-4, 6):           # o = seed_index - point_index
+        hit = _shift(seed, o) & (jnp.abs(r - _shift(r, o)) < _shift(gate, o) / 2.0) & mask
+        w = w + jnp.where(hit, _shift(gw_all, o), 0.0)
+        mult = mult + hit.astype(dtype)
+    gmask = mult > 0                 # groundcloudMarked (seeds self-push at o=0)
 
-    w = jnp.where(gmask, 1.5 - ring.astype(dtype) / (gsi - 1), 0.0)
     wsum = jnp.maximum(jnp.sum(w), 1e-6)
     center = jnp.sum(xyz * w[:, None], axis=0) / wsum
     d = xyz - center
@@ -399,13 +411,13 @@ def _fit_ground(xyz, r, ring, mask, pos_in_ring, count_of_ring, cfg: SlamConfig,
     normal = jnp.where(jnp.dot(center, normal) < 0, -normal, normal)
     planarity_ok = evals[1] > cfg.ground_planarity_ratio * evals[0]
 
-    # robustified distance (cpp:386-413)
+    # robustified distance (cpp:386-413), per-push multiplicity preserved
     d_unit = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-9)
     dw = 1.0 - 100.0 * jnp.abs(d_unit @ normal)
-    dw = jnp.where(dw < 0, 0.1, dw) * jnp.where(gmask, 1.0, 0.0)
+    dw = jnp.where(dw < 0, 0.1, dw) * mult
     dwsum = jnp.maximum(jnp.sum(dw), 1e-6)
     distance = jnp.sum(dw * (xyz @ normal)) / dwsum
-    gsize = jnp.maximum(jnp.sum(gmask.astype(dtype)), 1.0)
+    gsize = jnp.maximum(jnp.sum(mult), 1.0)
     source1 = dwsum / gsize
 
     h = cfg.lidar_height

@@ -228,8 +228,10 @@ def build_ndt_voxelmap(
     min_eig_ratio: float = 0.01, probes: int = 16,
 ) -> VoxelMap:
     """NDT target: per-voxel mean + *positional* covariance with
-    min-eigenvalue regularization (cuda/covariance_regularization.cu MIN_EIG)."""
-    coords = vh.voxel_coords(pts, resolution)
+    min-eigenvalue regularization (cuda/covariance_regularization.cu MIN_EIG).
+    Binning uses the GaussianVoxelMap half-shift so ``voxelmap_lookup`` (shared
+    with the VGICP path) finds the right bins."""
+    coords = vh.voxel_coords(pts, resolution, offset=0.5)
     keys = vh.pack_coords(coords, mask)
     ht = vh.build_hash_table(keys, cap, probes)
     slot = jnp.where(ht.slot_of_point >= 0, ht.slot_of_point, cap)

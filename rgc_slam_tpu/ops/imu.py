@@ -123,7 +123,10 @@ def complementary_filter_scan(state: ImuFilterState, imu: ImuBatch, gravity: flo
         bufy, ay = _median_update(s.bufy, s.count, acc[1])
         bufz, az = _median_update(s.bufz, s.count, acc[2])
 
-        k = jnp.where(s.count < 300, 0.9, 0.002)
+        # the handler increments count BEFORE the filter runs
+        # (RGC_odometer.cpp:484-485), so sample m sees count == m+1
+        cnt = s.count + 1
+        k = jnp.where(cnt < 300, 0.9, 0.002)
         gx, gy, gz = gyr[0] - s.bg[0], gyr[1] - s.bg[1], gyr[2] - s.bg[2]
         gz = jnp.where(jnp.abs(gz * rad2deg) < 0.2, 0.0, gz)
 
@@ -132,13 +135,13 @@ def complementary_filter_scan(state: ImuFilterState, imu: ImuBatch, gravity: flo
         acc_exp = Rimu @ jnp.array([0.0, 0.0, gravity])
         ratio_x = jnp.abs(acc_exp[0]) / jnp.maximum(jnp.abs(ax), 1e-6)
         ax = jnp.where(
-            (s.count > 300) & (jnp.abs(ax) > 0.3) & (ratio_x < 0.8),
+            (cnt > 300) & (jnp.abs(ax) > 0.3) & (ratio_x < 0.8),
             ratio_x * ax + (1 - ratio_x) * acc_exp[0],
             ax,
         )
         ratio_y = jnp.abs(acc_exp[1]) / jnp.maximum(jnp.abs(ay), 1e-6)
         ay = jnp.where(
-            (s.count > 300) & (jnp.abs(ay) > 0.3) & (ratio_y < 0.8),
+            (cnt > 300) & (jnp.abs(ay) > 0.3) & (ratio_y < 0.8),
             ratio_y * ay + (1 - ratio_y) * acc_exp[1],
             ay,
         )
@@ -154,8 +157,10 @@ def complementary_filter_scan(state: ImuFilterState, imu: ImuBatch, gravity: flo
         pitch = k * pitch_acc + (1.0 - k) * (s.pitch + er[1] * dt)
         yaw = s.yaw + er[2] / 0.9998 * dt
 
-        # damp attitude updates during fast rotation (cpp:612-618)
-        fast = jnp.abs(gz * rad2deg) > 5.0
+        # damp attitude updates during fast rotation (cpp:612-618) — the
+        # reference converts gz to the euler yaw rate IN PLACE before this
+        # test, so the threshold applies to er[2], not the body rate
+        fast = jnp.abs(er[2] * rad2deg) > 5.0
         low = 0.005
         roll = jnp.where(fast, low * roll + (1 - low) * s.roll, roll)
         pitch = jnp.where(fast, low * pitch + (1 - low) * s.pitch, pitch)
@@ -168,8 +173,10 @@ def complementary_filter_scan(state: ImuFilterState, imu: ImuBatch, gravity: flo
         warm_gyr = jnp.where(collect, s.warm_gyr.at[wpos].set(gyr), s.warm_gyr)
 
         new = s.replace(
-            roll=jnp.where(valid, m3.wrap_angle(roll), s.roll),
-            pitch=jnp.where(valid, m3.wrap_angle(pitch), s.pitch),
+            # roll/pitch take the reference's HALF wrap (±pi past ±pi/2,
+            # NormalizationRollPitchAngle), yaw the full wrap
+            roll=jnp.where(valid, m3.wrap_rollpitch(roll), s.roll),
+            pitch=jnp.where(valid, m3.wrap_rollpitch(pitch), s.pitch),
             yaw=jnp.where(valid, m3.wrap_angle(yaw), s.yaw),
             count=jnp.where(valid, s.count + 1, s.count),
             last_t=jnp.where(valid, t, s.last_t),

@@ -120,7 +120,7 @@ def find_correspondences(
     """
     Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
     offsets = jnp.asarray(NEIGHBOR_OFFSETS[neighbors], jnp.int32)  # [K, 3]
-    coords = vh.voxel_coords(Tp, vm.resolution)                     # [N, 3]
+    coords = vh.voxel_coords(Tp, vm.resolution, offset=0.5)         # [N, 3]
     nb = coords[:, None, :] + offsets[None, :, :]                   # [N, K, 3]
     keys = vh.pack_coords(nb, src_mask[:, None])
     slots = vh.lookup_slots(vm.keys, keys.reshape(-1), probes)      # [N*K]
@@ -240,6 +240,13 @@ class _LMState(NamedTuple):
     converged: jax.Array
     it: jax.Array
     H: jax.Array
+    # per-outer-iteration trace (parity instrument vs the C++ λ schedule,
+    # tests/test_parity_oracles.py): cost at linearization, λ after the inner
+    # loop, #rejected trials, accepted flag
+    trace_y0: jax.Array       # [max_iterations]
+    trace_lam: jax.Array      # [max_iterations]
+    trace_rej: jax.Array      # [max_iterations] int32
+    trace_acc: jax.Array      # [max_iterations] bool
 
 
 def lm_register(
@@ -250,9 +257,14 @@ def lm_register(
     q0: jax.Array,
     t0: jax.Array,
     cfg: SlamConfig,
-) -> RegistrationResult:
+    with_trace: bool = False,
+):
     """FastVGICP::align — LM loop with the reference's λ schedule
-    (lsq_registration_impl.hpp:125-172), jit-compiled via lax.while_loop."""
+    (lsq_registration_impl.hpp:125-172), jit-compiled via lax.while_loop.
+
+    With ``with_trace=True`` (static) returns (result, trace dict of
+    per-outer-iteration y0/λ/n_rejects/accepted arrays padded to
+    ``vgicp_max_iterations``) for the λ-schedule parity test."""
     dtype = src.dtype
     max_corr = cfg.vgicp_max_corr_dist
     probes = cfg.hash_probes
@@ -323,13 +335,19 @@ def lm_register(
             (carry, k) = c
             return (inner_body(carry), k + 1)
 
-        (lam, nu, done, q, t, conv, accepted), _ = jax.lax.while_loop(
+        ((lam, nu, done, q, t, conv, accepted), k) = jax.lax.while_loop(
             bounded_cond, bounded_body, (init, 0)
         )
+        ti = jnp.clip(s.it, 0, cfg.vgicp_max_iterations - 1)
         return _LMState(
-            q=q, t=t, lm_lambda=lam, converged=conv | (~accepted), it=s.it + 1, H=H
+            q=q, t=t, lm_lambda=lam, converged=conv | (~accepted), it=s.it + 1, H=H,
+            trace_y0=s.trace_y0.at[ti].set(y0),
+            trace_lam=s.trace_lam.at[ti].set(lam),
+            trace_rej=s.trace_rej.at[ti].set(k - accepted.astype(jnp.int32)),
+            trace_acc=s.trace_acc.at[ti].set(accepted),
         )
 
+    mi = cfg.vgicp_max_iterations
     s0 = _LMState(
         q=q0.astype(dtype),
         t=t0.astype(dtype),
@@ -337,11 +355,22 @@ def lm_register(
         converged=jnp.asarray(False),
         it=jnp.asarray(0, jnp.int32),
         H=jnp.zeros((6, 6), dtype),
+        trace_y0=jnp.full((mi,), jnp.nan, dtype),
+        trace_lam=jnp.full((mi,), jnp.nan, dtype),
+        trace_rej=jnp.zeros((mi,), jnp.int32),
+        trace_acc=jnp.zeros((mi,), bool),
     )
     s = jax.lax.while_loop(outer_cond, outer_body, s0)
     mean_d2, n_corr = vgicp_fitness(src, src_mask, vm, s.q, s.t, max_corr, probes, psum_axis)
     # fitness: mean squared euclidean distance of matched points, like
     # pcl::Registration::getFitnessScore (used as confidence `vgicp_source`)
-    return RegistrationResult(
+    result = RegistrationResult(
         q=s.q, t=s.t, fitness=mean_d2, n_corr=n_corr, iterations=s.it, H=s.H
     )
+    if with_trace:
+        return result, {
+            "y0": s.trace_y0, "lam_after": s.trace_lam,
+            "n_rejects": s.trace_rej, "accepted": s.trace_acc,
+            "n_outer": s.it,
+        }
+    return result

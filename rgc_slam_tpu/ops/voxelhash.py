@@ -30,9 +30,18 @@ COORD_MASK = (1 << COORD_BITS) - 1
 EMPTY = -1
 
 
-def voxel_coords(pts: jax.Array, resolution: float | jax.Array) -> jax.Array:
-    """Points [..., 3] -> integer voxel coords (floor)."""
-    return jnp.floor(pts / resolution).astype(jnp.int32)
+def voxel_coords(
+    pts: jax.Array, resolution: float | jax.Array, offset: float = 0.0
+) -> jax.Array:
+    """Points [..., 3] -> integer voxel coords.
+
+    ``offset=0.0`` is the PCL ``VoxelGrid`` binning (floor(x/res)) used for
+    downsampling; ``offset=0.5`` is the GaussianVoxelMap binning
+    (floor(x/res - 0.5), fast_vgicp_voxel.hpp:160-162) used by every VGICP
+    map build and lookup — the two conventions differ by half a voxel and the
+    reference uses both, so parity requires both here.
+    """
+    return jnp.floor(pts / resolution - offset).astype(jnp.int32)
 
 
 def pack_coords(coords: jax.Array, valid: jax.Array) -> jax.Array:
@@ -177,9 +186,10 @@ def build_gaussian_voxelmap(
 
     Per-voxel mean = mean of member points; per-voxel cov = mean of member
     per-point covariances — matching ``GaussianVoxel::append`` ADDITIVE
-    accumulation (fast_vgicp_voxel.hpp:141-266).
+    accumulation (fast_vgicp_voxel.hpp:141-266), with the half-voxel-shifted
+    binning of ``GaussianVoxelMap::voxel_coord``.
     """
-    coords = voxel_coords(pts, resolution)
+    coords = voxel_coords(pts, resolution, offset=0.5)
     keys = pack_coords(coords, mask)
     ht = build_hash_table(keys, cap, probes)
     slot = jnp.where(ht.slot_of_point >= 0, ht.slot_of_point, cap)
@@ -201,7 +211,8 @@ def build_gaussian_voxelmap(
 
 def voxelmap_lookup(vm: VoxelMap, query_pts: jax.Array, probes: int = 16) -> jax.Array:
     """Query points -> voxel slot indices (-1 = no voxel).  DIRECT1 search
-    (fast_vgicp_impl.hpp neighbor_offsets, DIRECT1 path)."""
-    coords = voxel_coords(query_pts, vm.resolution)
+    (fast_vgicp_impl.hpp neighbor_offsets, DIRECT1 path); binning must match
+    ``build_gaussian_voxelmap``'s half-shifted convention."""
+    coords = voxel_coords(query_pts, vm.resolution, offset=0.5)
     keys = pack_coords(coords, jnp.ones(query_pts.shape[:-1], bool))
     return lookup_slots(vm.keys, keys, probes)

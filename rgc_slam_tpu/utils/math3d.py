@@ -252,6 +252,16 @@ def wrap_angle(a: jax.Array) -> jax.Array:
     return a - 2.0 * jnp.pi * jnp.floor((a + jnp.pi) / (2.0 * jnp.pi))
 
 
+def wrap_rollpitch(a: jax.Array) -> jax.Array:
+    """Half-wrap to [-pi/2, pi/2] by a single ±pi shift — the reference's
+    ``NormalizationRollPitchAngle`` (utility.h:92-99), which keeps the
+    complementary filter's roll/pitch on the accelerometer's principal
+    branch."""
+    return jnp.where(
+        a > jnp.pi / 2, a - jnp.pi, jnp.where(a < -jnp.pi / 2, a + jnp.pi, a)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SE(3) as (q, t) pairs
 # ---------------------------------------------------------------------------

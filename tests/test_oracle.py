@@ -73,14 +73,16 @@ def test_picker_matches_oracle_sets():
     print("\npicker-vs-oracle:", [(k, round(j, 3), round(a, 3), round(b, 3), no, ne)
                                   for k, j, a, b, no, ne in stats])
     for key, jacc, cov_oe, cov_eo, n_o, n_e in stats:
-        # counts in the same ballpark (within 2x)
-        assert 0.5 <= n_e / max(n_o, 1) <= 2.0, (key, n_o, n_e)
-        # the same physical structures are captured: oracle picks are covered
-        # by engine picks within half a voxel (and vice versa)
-        assert cov_oe < 0.5, (key, cov_oe)
-        assert cov_eo < 0.5, (key, cov_eo)
-        # set-level agreement floor (ordering differences cap exact overlap)
-        assert jacc > 0.3, (key, jacc)
+        # counts in a tight band (measured: within ~1% on the standard seeds)
+        assert 0.9 <= n_e / max(n_o, 1) <= 1.1, (key, n_o, n_e)
+        # the same physical structures are captured: oracle picks covered by
+        # engine picks within 0.1 m and vice versa (measured: <= 0.015 m)
+        assert cov_oe < 0.1, (key, cov_oe)
+        assert cov_eo < 0.1, (key, cov_eo)
+        # set-level gates AT the measured band (VERDICT r2 item 6): sharp
+        # 0.95-0.99, flat 0.87-0.91 on these seeds — enforce the claim
+        floor = 0.9 if key == "sharp" else 0.8
+        assert jacc > floor, (key, jacc)
 
 
 def _run_odometry_with_picks(seq, pick_source):

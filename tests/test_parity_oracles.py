@@ -1,0 +1,358 @@
+"""Per-stage parity oracles vs the TPU engine (VERDICT r2 item 1).
+
+Each test replays a numerically subtle reference stage with the exact numpy
+transliteration in ``utils/parity.py`` and asserts tight agreement with the
+engine's vectorized re-expression:
+
+  * ground fit + robustified distance   (scanRegistration.cpp:307-431)
+  * complementary attitude filter       (RGC_odometer.cpp:545-625)
+  * one VGICP linearize (map/corr/H/b)  (fast_vgicp_impl.hpp:73-214)
+  * the LM λ-schedule accept trace      (lsq_registration_impl.hpp:125-172)
+  * FourDOF residual + PGO solve        (lidarFactor.hpp:557-595,
+                                         RGC_mapping.cpp:2302-2466)
+
+The measured deltas these tests enforce are the ones PARITY.md quotes.
+"""
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rgc_slam_tpu.config import TEST_CONFIG
+from rgc_slam_tpu.io import synthetic
+from rgc_slam_tpu.io.convert import cloud_from_scan_dict
+from rgc_slam_tpu.models.loop import LoopState, _pgo_solve
+from rgc_slam_tpu.models.mapping import MappingState
+from rgc_slam_tpu.ops import factors as fac
+from rgc_slam_tpu.ops import features as F
+from rgc_slam_tpu.ops import imu as imu_ops
+from rgc_slam_tpu.ops import registration as reg
+from rgc_slam_tpu.ops import voxelhash as vh
+from rgc_slam_tpu.types import ImuBatch
+from rgc_slam_tpu.utils import math3d as m3
+from rgc_slam_tpu.utils import parity
+
+CFG = TEST_CONFIG
+RAD2DEG = 180.0 / np.pi
+
+
+# ---------------------------------------------------------------------------
+# (a) ground fit
+# ---------------------------------------------------------------------------
+
+
+def test_ground_fit_parity():
+    seq = synthetic.generate_sequence(
+        n_scans=2, n_azimuth=360, seed=11, extent=18.0, radius=8.0,
+        noise=0.004, closes_loop=False, speed=2.0,
+    )
+    for scan in seq["scans"][:2]:
+        cloud = cloud_from_scan_dict(scan, CFG)
+        fx, dbg = jax.jit(
+            functools.partial(F.extract_features, cfg=CFG, debug=True)
+        )(cloud)
+        xyz = np.asarray(dbg["xyz"], np.float64)
+        rng = np.linalg.norm(xyz, axis=-1)
+        ring_sizes = np.asarray(dbg["ring_count"])
+        oracle = parity.reference_ground_fit(
+            xyz, rng, ring_sizes, list(CFG.expected_ground_ranges),
+            ground_scan_rings=CFG.ground_scan_rings,
+            range_gate=CFG.ground_range_gate,
+            lidar_height=CFG.lidar_height,
+            ground_z_max=CFG.ground_z_max,
+        )
+        engine_mask = np.asarray(dbg["ground_mask"])
+        assert oracle["groundsize"] > 100, "oracle found no ground — bad fixture"
+        # exact mark-set agreement
+        n_diff = int(np.sum(oracle["marked"] != engine_mask))
+        assert n_diff == 0, f"{n_diff} marked-point mismatches"
+
+        g = fx.ground
+        normal_e = np.asarray(g.normal, np.float64)
+        dot = abs(float(normal_e @ oracle["normal"]))
+        angle = np.arccos(min(dot, 1.0))
+        dist_d = abs(float(g.distance) - float(oracle["distance"]))
+        src_d = abs(float(g.source) - float(oracle["source"]))
+        print(f"\nground parity: angle={angle:.2e} rad dist={dist_d:.2e} m "
+              f"source={src_d:.2e}")
+        assert angle < 1e-4, angle
+        assert dist_d < 1e-4, dist_d
+        assert src_d < 1e-3, src_d
+
+
+# ---------------------------------------------------------------------------
+# (b) complementary filter
+# ---------------------------------------------------------------------------
+
+
+def _imu_stream(m=640, hz=200.0, seed=3):
+    """Static for the first 320 samples, then slow rotation + accel."""
+    rs = np.random.RandomState(seed)
+    t = 100.0 + np.arange(m) / hz
+    acc = np.tile([0.0, 0.0, 9.81], (m, 1))
+    gyr = np.zeros((m, 3))
+    dyn = np.arange(m) >= 340
+    # gentle attitude motion (below the 5 deg/s damping threshold on yaw)
+    gyr[dyn, 0] = 0.04 * np.sin(np.arange(m)[dyn] / 40.0)
+    gyr[dyn, 1] = 0.03 * np.cos(np.arange(m)[dyn] / 55.0)
+    gyr[dyn, 2] = 0.05 * np.sin(np.arange(m)[dyn] / 70.0)
+    acc[dyn, 0] += 0.2 * np.sin(np.arange(m)[dyn] / 30.0)
+    acc += rs.normal(0, 0.01, (m, 3))
+    gyr += rs.normal(0, 0.001, (m, 3))
+    return t, acc, gyr
+
+
+def test_complementary_filter_parity():
+    t, acc, gyr = _imu_stream()
+    oracle = parity.reference_complementary_filter(t, acc, gyr)
+
+    state = imu_ops.ImuFilterState.init().replace(
+        bias_ready=jnp.asarray(True)   # isolate the filter from the warm-up
+    )
+    batch = ImuBatch(
+        t=jnp.asarray(t, jnp.float32),
+        acc=jnp.asarray(acc, jnp.float32),
+        gyr=jnp.asarray(gyr, jnp.float32),
+        mask=jnp.ones(len(t), bool),
+    )
+    # per-sample trajectory: run the scan filter one sample at a time
+    rolls, pitches, yaws = [], [], []
+    step = jax.jit(imu_ops.complementary_filter_scan)
+    for i in range(len(t)):
+        one = jax.tree.map(lambda a: a[i:i + 1], batch)
+        state = step(state, one)
+        rolls.append(float(state.roll))
+        pitches.append(float(state.pitch))
+        yaws.append(float(state.yaw))
+    rolls, pitches, yaws = map(np.array, (rolls, pitches, yaws))
+
+    # compare after both median windows agree (201-sample ring buffer full)
+    # and the k=0.9 warm-up has washed out the earlier differences
+    s = slice(320, None)
+    dr = np.abs(rolls[s] - oracle["roll"][s]).max()
+    dp = np.abs(pitches[s] - oracle["pitch"][s]).max()
+    # yaw integrates through the warm-up, where the engine's masked median
+    # deviates (deliberately) from the C++'s zero-filled buffers — compare
+    # increments over the dynamic segment instead of absolutes
+    dy_inc = np.abs(
+        np.diff(yaws[s]) - np.diff(oracle["yaw"][s])
+    ).max()
+    print(f"\ncomp-filter parity: droll={dr:.2e} dpitch={dp:.2e} "
+          f"dyaw_inc={dy_inc:.2e} (rad)")
+    assert dr < 2e-4, dr
+    assert dp < 2e-4, dp
+    assert dy_inc < 2e-5, dy_inc
+
+
+# ---------------------------------------------------------------------------
+# (c) VGICP linearize
+# ---------------------------------------------------------------------------
+
+
+def _vgicp_problem(seed=7, n_src=256, n_tgt=1024):
+    rs = np.random.RandomState(seed)
+    tgt = rs.uniform(-6, 6, (n_tgt, 3)).astype(np.float32)
+    tgt[:, 2] *= 0.3
+    # plane-regularized-looking SPD covariances
+    def covs(n):
+        A = rs.normal(0, 0.1, (n, 3, 3)).astype(np.float32)
+        return np.einsum("nij,nkj->nik", A, A) + 1e-3 * np.eye(3, dtype=np.float32)
+    tgt_cov = covs(n_tgt)
+    idx = rs.choice(n_tgt, n_src, replace=False)
+    R = np.asarray(
+        m3.quat_to_mat(m3.ypr_to_quat(jnp.asarray([0.05, 0.02, -0.03])))
+    )
+    t_true = np.array([0.3, -0.2, 0.1], np.float32)
+    src = ((tgt[idx] - t_true) @ R).astype(np.float32)  # R^T (x - t)
+    src += rs.normal(0, 0.01, src.shape).astype(np.float32)
+    src_cov = covs(n_src)
+    return src, src_cov, tgt, tgt_cov
+
+
+def test_vgicp_linearize_parity():
+    src, src_cov, tgt, tgt_cov = _vgicp_problem()
+    res = 1.0
+    q = m3.ypr_to_quat(jnp.asarray([0.02, -0.01, 0.015]))
+    t = jnp.asarray([0.1, 0.05, -0.08], jnp.float32)
+
+    vm = vh.build_gaussian_voxelmap(
+        jnp.asarray(tgt), jnp.asarray(tgt_cov), jnp.ones(len(tgt), bool),
+        res, CFG.max_voxels, probes=CFG.hash_probes,
+    )
+    H_e, b_e, cost_e, n_e, _ = jax.jit(
+        functools.partial(reg.vgicp_linearize, max_corr_dist=100.0)
+    )(jnp.asarray(src), jnp.asarray(src_cov), jnp.ones(len(src), bool), vm, q, t)
+
+    T = np.eye(4)
+    T[:3, :3] = np.asarray(m3.quat_to_mat(q), np.float64)
+    T[:3, 3] = np.asarray(t, np.float64)
+    vmap_o = parity.reference_gaussian_voxelmap(tgt, tgt_cov, res)
+    H_o, b_o, cost_o, corr = parity.reference_vgicp_linearize(
+        src, src_cov, vmap_o, T, res
+    )
+
+    assert int(n_e) == len(corr), (int(n_e), len(corr))
+    rel_H = np.abs(np.asarray(H_e) - H_o).max() / np.abs(H_o).max()
+    rel_b = np.abs(np.asarray(b_e) - b_o).max() / np.abs(b_o).max()
+    rel_c = abs(float(cost_e) - cost_o) / abs(cost_o)
+    print(f"\nvgicp-linearize parity: n={len(corr)} relH={rel_H:.2e} "
+          f"relb={rel_b:.2e} relcost={rel_c:.2e}")
+    assert rel_H < 1e-3, rel_H
+    assert rel_b < 1e-3, rel_b
+    assert rel_c < 1e-3, rel_c
+
+
+# ---------------------------------------------------------------------------
+# (d) LM λ-schedule
+# ---------------------------------------------------------------------------
+
+
+def test_lm_schedule_parity():
+    src, src_cov, tgt, tgt_cov = _vgicp_problem(seed=9)
+    res = 1.0
+    vm = vh.build_gaussian_voxelmap(
+        jnp.asarray(tgt), jnp.asarray(tgt_cov), jnp.ones(len(tgt), bool),
+        res, CFG.max_voxels, probes=CFG.hash_probes,
+    )
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, vgicp_max_corr_dist=100.0, neighbor_search=1)
+    q0 = m3.quat_identity(jnp.float32)
+    t0 = jnp.zeros(3, jnp.float32)
+    result, trace = jax.jit(
+        functools.partial(reg.lm_register, cfg=cfg, with_trace=True)
+    )(jnp.asarray(src), jnp.asarray(src_cov), jnp.ones(len(src), bool), vm, q0, t0)
+
+    T_o, trace_o = parity.reference_lm_vgicp(
+        src, src_cov, tgt, tgt_cov, res, np.eye(4),
+        max_iterations=cfg.vgicp_max_iterations,
+        lm_max_iterations=cfg.lm_max_inner,
+        lm_init_lambda_factor=cfg.lm_init_lambda_factor,
+        rotation_epsilon=cfg.rotation_epsilon,
+        transformation_epsilon=cfg.translation_epsilon,
+    )
+
+    n_outer = int(trace["n_outer"])
+    accs = [bool(a) for a in np.asarray(trace["accepted"])[:n_outer]]
+    rejs = [int(r) for r in np.asarray(trace["n_rejects"])[:n_outer]]
+    o_accs = [s["accepted"] for s in trace_o]
+    o_rejs = [s["n_rejects"] for s in trace_o]
+    print(f"\nlm-schedule parity: engine outer={n_outer} acc={accs} rej={rejs}")
+    print(f"oracle outer={len(trace_o)} acc={o_accs} rej={o_rejs}")
+    assert n_outer == len(trace_o), (n_outer, len(trace_o))
+    assert accs == o_accs
+    assert rejs == o_rejs
+    # λ trace within float32 tolerance, per accepted iteration
+    for k in range(n_outer):
+        lam_e = float(np.asarray(trace["lam_after"])[k])
+        lam_o = trace_o[k]["lam_after"]
+        assert abs(lam_e - lam_o) <= 1e-3 * max(abs(lam_o), 1e-12), (k, lam_e, lam_o)
+    # final pose agreement
+    R_e = np.asarray(m3.quat_to_mat(result.q), np.float64)
+    dt = np.abs(np.asarray(result.t, np.float64) - T_o[:3, 3]).max()
+    dR = np.abs(R_e - T_o[:3, :3]).max()
+    print(f"final pose: dR={dR:.2e} dt={dt:.2e}")
+    assert dR < 1e-4, dR
+    assert dt < 1e-4, dt
+
+
+# ---------------------------------------------------------------------------
+# (e) FourDOF residual + PGO
+# ---------------------------------------------------------------------------
+
+
+def test_fourdof_residual_parity():
+    rs = np.random.RandomState(2)
+    for _ in range(10):
+        yaw_i, yaw_j = rs.uniform(-np.pi, np.pi, 2)
+        pitch_i, roll_i = rs.uniform(-0.3, 0.3, 2)
+        t_i, t_j = rs.uniform(-10, 10, (2, 3))
+        t_meas = rs.uniform(-2, 2, 3)
+        yaw_meas = rs.uniform(-np.pi, np.pi)
+        r_e = np.asarray(
+            fac.fourdof_residual(
+                jnp.asarray(yaw_i), jnp.asarray(t_i, jnp.float32),
+                jnp.asarray(yaw_j), jnp.asarray(t_j, jnp.float32),
+                jnp.asarray(t_meas, jnp.float32), jnp.asarray(yaw_meas),
+                jnp.asarray(pitch_i), jnp.asarray(roll_i),
+            ),
+            np.float64,
+        )
+        r_o = parity.reference_fourdof_residual(
+            yaw_i * RAD2DEG, t_i, yaw_j * RAD2DEG, t_j, t_meas,
+            yaw_meas * RAD2DEG, pitch_i * RAD2DEG, roll_i * RAD2DEG,
+        )
+        assert np.abs(r_e[:3] - r_o[:3]).max() < 1e-4
+        assert abs(r_e[3] * RAD2DEG - r_o[3]) < 1e-3
+
+
+def _loop_graph(K=24, seed=5):
+    """Closed square course with injected odometric yaw drift."""
+    rs = np.random.RandomState(seed)
+    yaw_gt = np.linspace(0, 2 * np.pi, K, endpoint=False)
+    t_gt = np.stack(
+        [8 * np.cos(yaw_gt), 8 * np.sin(yaw_gt), 0.02 * rs.randn(K)], axis=1
+    )
+    # drifted poses: accumulate a small yaw bias along the chain
+    drift = np.cumsum(np.full(K, 0.004))
+    yaw = yaw_gt + drift
+    t = t_gt.copy()
+    for k in range(1, K):
+        Rk = parity._ypr2R_deg(np.array([drift[k - 1] * RAD2DEG, 0, 0]))
+        t[k] = t[k - 1] + Rk @ (t_gt[k] - t_gt[k - 1])
+    pitch = rs.uniform(-0.05, 0.05, K)
+    roll = rs.uniform(-0.05, 0.05, K)
+    ypr = np.stack([yaw, pitch, roll], axis=1)
+    # loop constraint: latest keyframe vs keyframe 1, measured from GT
+    ki, kj = K - 1, 1
+    R_j = parity._ypr2R_deg(np.array([yaw_gt[kj] * RAD2DEG,
+                                      pitch[kj] * RAD2DEG, roll[kj] * RAD2DEG]))
+    t_rel = R_j.T @ (t_gt[ki] - t_gt[kj])
+    rel_yaw = yaw_gt[ki] - yaw_gt[kj]
+    return ypr, t, [(ki, kj, t_rel, rel_yaw)]
+
+
+def test_pgo_solve_parity():
+    ypr, t, loops = _loop_graph()
+    K = len(ypr)
+    oracle = parity.reference_pgo_solve(ypr, t, loops)
+
+    cfg = CFG
+    ms = MappingState.init(cfg)
+    KF = cfg.max_keyframes
+    kf_q = np.tile([1.0, 0, 0, 0], (KF, 1)).astype(np.float32)
+    kf_t = np.zeros((KF, 3), np.float32)
+    kf_q[:K] = np.asarray(jax.vmap(m3.ypr_to_quat)(jnp.asarray(ypr, jnp.float32)))
+    kf_t[:K] = t
+    ms = ms.replace(
+        kf_q=jnp.asarray(kf_q), kf_t=jnp.asarray(kf_t),
+        kf_count=jnp.asarray(K, jnp.int32),
+    )
+    ls = LoopState.init(cfg)
+    (ki, kj, t_rel, rel_yaw) = loops[0]
+    ls = ls.replace(
+        loop_i=ls.loop_i.at[0].set(ki),
+        loop_j=ls.loop_j.at[0].set(kj),
+        loop_t=ls.loop_t.at[0].set(jnp.asarray(t_rel, jnp.float32)),
+        loop_yaw=ls.loop_yaw.at[0].set(rel_yaw),
+        loop_pitch_j=ls.loop_pitch_j.at[0].set(ypr[kj, 1]),
+        loop_roll_j=ls.loop_roll_j.at[0].set(ypr[kj, 2]),
+        loop_count=jnp.asarray(1, jnp.int32),
+    )
+    ms_out = jax.jit(functools.partial(_pgo_solve, cfg=cfg))(ms, ls)
+
+    t_e = np.asarray(ms_out.kf_t[:K], np.float64)
+    yaw_e = np.asarray(
+        jax.vmap(m3.quat_to_ypr)(ms_out.kf_q[:K])[:, 0], np.float64
+    )
+    dt = np.abs(t_e - oracle["t"]).max()
+    dyaw = np.abs(
+        np.angle(np.exp(1j * (yaw_e - oracle["yaw"])))
+    ).max()
+    # sanity: the solve moved things (loop was inconsistent at x0)
+    moved = np.abs(t_e - t).max()
+    print(f"\npgo parity: dt={dt:.2e} m dyaw={dyaw:.2e} rad (moved {moved:.3f} m)")
+    assert moved > 0.05
+    assert dt < 5e-3, dt
+    assert dyaw < 5e-4, dyaw

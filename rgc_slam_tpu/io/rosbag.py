@@ -17,8 +17,8 @@ Provides:
     C++ prefetch ring (runtime/sweeplog.cc) owns the hot replay path
   * ``scan_stream``   — (scan dict, imu interval) iterator for run.py --bag
 
-Compression: 'none' and 'bz2' chunks are supported (stdlib); 'lz4' raises
-with a clear message (not in this image).
+Compression: 'none' and 'bz2' chunks via stdlib; 'lz4' (the default of many
+recorders) via the pure-Python frame decoder in ``io/lz4.py``.
 """
 from __future__ import annotations
 
@@ -77,9 +77,19 @@ def _read_record(f) -> Optional[Tuple[Dict[bytes, bytes], bytes]]:
     if len(head) < 4:
         return None
     (hlen,) = struct.unpack("<I", head)
-    header = _parse_header(f.read(hlen))
-    (dlen,) = struct.unpack("<I", f.read(4))
+    hbuf = f.read(hlen)
+    if len(hbuf) < hlen:
+        return None                     # truncated mid-header
+    header = _parse_header(hbuf)
+    dl = f.read(4)
+    if len(dl) < 4:
+        return None
+    (dlen,) = struct.unpack("<I", dl)
     data = f.read(dlen)
+    if len(data) < dlen:
+        # file.read short-reads at EOF without raising — a half-written
+        # trailing record must not masquerade as a complete one
+        return None
     return header, data
 
 
@@ -164,9 +174,20 @@ class BagReader:
                               "stopping replay")
                         return
                 elif comp == "lz4":
+                    # the default chunk compression of many recorders — pure
+                    # Python frame/block decoder (io/lz4.py)
+                    from . import lz4 as _lz4
+
+                    try:
+                        data = _lz4.decompress(data)
+                    except ValueError as e:
+                        print(f"[rosbag] {self.path}: corrupt lz4 chunk "
+                              f"({e}); stopping replay")
+                        return
+                elif comp != "none":
                     raise IOError(
-                        "lz4-compressed bag chunks are unsupported in this "
-                        "image (no lz4 module); re-record with --bz2 or none"
+                        f"{self.path}: unsupported chunk compression "
+                        f"{comp!r} (supported: none, bz2, lz4)"
                     )
                 sub = _io.BytesIO(data)
                 while True:
@@ -274,7 +295,13 @@ def read_pointcloud2(raw: bytes) -> dict:
         datatype = c.u8()
         count = c.u32()
         fields.append((name, offset, datatype, count))
-    c.u8()                              # is_bigendian (little assumed)
+    if c.u8():                          # is_bigendian
+        # every ROS1 driver in the wild writes little-endian; silently
+        # byte-swapping risks masking recorder corruption — reject loudly
+        raise IOError(
+            "PointCloud2 declares is_bigendian=1; big-endian point data is "
+            "unsupported (re-record on a little-endian host)"
+        )
     point_step = c.u32()
     c.u32()                             # row_step
     nbytes = c.u32()
@@ -357,8 +384,12 @@ def encode_pointcloud2(
     ring: Optional[np.ndarray] = None,
     rel_time: Optional[np.ndarray] = None,
     frame_id: bytes = b"velodyne",
+    bigendian: bool = False,
 ) -> bytes:
-    """Serialize a sensor_msgs/PointCloud2 (x,y,z,intensity[,ring][,time])."""
+    """Serialize a sensor_msgs/PointCloud2 (x,y,z,intensity[,ring][,time]).
+
+    ``bigendian=True`` only SETS the flag (the payload stays little-endian):
+    a fixture hook for testing the reader's loud rejection of such bags."""
     n = len(xyz)
     fields = [(b"x", 0, 7, 1), (b"y", 4, 7, 1), (b"z", 8, 7, 1)]
     step = 12
@@ -396,7 +427,7 @@ def encode_pointcloud2(
     out += _u32(len(fields))
     for name, foff, dt, cnt in fields:
         out += _u32(len(name)) + name + _u32(foff) + bytes([dt]) + _u32(cnt)
-    out += b"\x00"                      # is_bigendian
+    out += b"\x01" if bigendian else b"\x00"    # is_bigendian
     out += _u32(step) + _u32(step * n)
     out += _u32(step * n) + buf.tobytes()
     out += b"\x01"                      # is_dense
@@ -428,7 +459,7 @@ class BagWriter:
     bag header, so standard ROS tooling can also open the output."""
 
     def __init__(self, path: str, chunk_size: int = 200, compression: str = "none"):
-        assert compression in ("none", "bz2")
+        assert compression in ("none", "bz2", "lz4")
         self._compression = compression
         self._f = open(path, "wb")
         self._f.write(MAGIC)
@@ -484,7 +515,14 @@ class BagWriter:
             return
         payload = b"".join(rec for _, _, rec in self._chunk)
         chunk_pos = self._f.tell()
-        wire = bz2.compress(payload) if self._compression == "bz2" else payload
+        if self._compression == "bz2":
+            wire = bz2.compress(payload)
+        elif self._compression == "lz4":
+            from . import lz4 as _lz4
+
+            wire = _lz4.compress_frame(payload)
+        else:
+            wire = payload
         hdr = _encode_header({
             b"op": bytes([OP_CHUNK]),
             b"compression": self._compression.encode(),

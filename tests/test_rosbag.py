@@ -197,3 +197,147 @@ def test_ring32_with_matching_config(tmp_path, rng):
                 rb.encode_pointcloud2(1.0, xyz, None, ring, None))
     scans = list(rb.scan_stream(path, n_scans_sensor=32))
     assert len(scans) == 1 and scans[0]["ring"].max() < 32
+
+
+# ---------------------------------------------------------------------------
+# spec-level hardening fixtures (VERDICT r2 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_lz4_block_and_frame_unit():
+    """Hand-crafted LZ4 vectors: overlapping match, stored blocks, legacy
+    frames — every decoder path."""
+    import struct
+    from rgc_slam_tpu.io import lz4
+
+    # block: 3 literals 'abc', then match offset 3 length 10 (overlap copy)
+    blk = bytes([0x36]) + b"abc" + struct.pack("<H", 3)
+    out = bytearray()
+    lz4._decode_block(blk, out)
+    assert bytes(out) == b"abcabcabcabca"
+
+    # literal-extension path (>=15 literals)
+    raw = bytes(range(256)) * 3
+    out2 = bytearray()
+    lz4._decode_block(lz4._encode_block_naive(raw), out2)
+    assert bytes(out2) == raw
+
+    # frame with compressed blocks, multiple blocks (linked window)
+    data = b"The quick brown fox jumps over the lazy dog. " * 100
+    assert lz4.decompress(lz4.compress_frame(data, block_size=512)) == data
+    # frame with stored (uncompressed-bit) blocks
+    assert lz4.decompress(lz4.compress_frame(data, stored=True)) == data
+    # legacy frame
+    legacy = struct.pack("<I", lz4.LEGACY_MAGIC)
+    blk2 = lz4._encode_block_naive(data)
+    legacy += struct.pack("<I", len(blk2)) + blk2
+    assert lz4.decompress(legacy) == data
+    # garbage magic rejected
+    with pytest.raises(ValueError):
+        lz4.decompress(b"\x00\x01\x02\x03\x04\x05\x06\x07")
+
+
+def test_bag_lz4_chunks(tmp_path):
+    """lz4 is the default chunk compression of many recorders — the reader
+    must replay such bags identically to uncompressed ones."""
+    path = str(tmp_path / "l.bag")
+    rng2 = np.random.default_rng(5)
+    _write_bag(path, rng2, compression="lz4")
+    scans = list(rb.scan_stream(path))
+    assert len(scans) == 4
+    rng2 = np.random.default_rng(5)
+    xyz, inten, ring, rel = _make_scan(rng2)
+    np.testing.assert_allclose(scans[0]["xyz"], xyz, rtol=1e-6)
+    np.testing.assert_array_equal(scans[0]["ring"], ring)
+
+
+def test_bag_truncated_tail(tmp_path):
+    """A crashed recorder leaves a half-written trailing record; replay must
+    yield everything before it and stop cleanly (like rosbag play)."""
+    path = str(tmp_path / "t.bag")
+    rng2 = np.random.default_rng(6)
+    _write_bag(path, rng2, n_scans=4)
+    full = open(path, "rb").read()
+    # cut inside the final chunk record's data section
+    cut = len(full) - len(full) // 5
+    trunc = str(tmp_path / "trunc.bag")
+    with open(trunc, "wb") as f:
+        f.write(full[:cut])
+    scans = list(rb.scan_stream(trunc))
+    assert 1 <= len(scans) < 4          # earlier chunks replay, tail dropped
+    assert np.isfinite(scans[0]["xyz"]).all()
+
+
+def test_bag_unchunked_toplevel_messages(tmp_path):
+    """Some tools write connection + message records at top level (no chunk
+    wrapper); the sequential scan must still yield them."""
+    import struct
+    from rgc_slam_tpu.io.rosbag import (
+        MAGIC, OP_BAGHDR, OP_CONN, OP_MSG, _encode_header, _time, _u32, _u64,
+    )
+
+    path = str(tmp_path / "flat.bag")
+    msg = rb.encode_imu(10.0, [0, 0, 9.81], [0, 0, 0])
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        hdr = _encode_header({b"op": bytes([OP_BAGHDR]),
+                              b"index_pos": _u64(0), b"conn_count": _u32(1),
+                              b"chunk_count": _u32(0)})
+        f.write(_u32(len(hdr)) + hdr + _u32(4) + b"    ")
+        ch = _encode_header({b"op": bytes([OP_CONN]), b"conn": _u32(0),
+                             b"topic": b"/imu"})
+        cd = _encode_header({b"topic": b"/imu", b"type": b"sensor_msgs/Imu",
+                             b"md5sum": b"*", b"message_definition": b""})
+        f.write(_u32(len(ch)) + ch + _u32(len(cd)) + cd)
+        mh = _encode_header({b"op": bytes([OP_MSG]), b"conn": _u32(0),
+                             b"time": _time(10.0)})
+        f.write(_u32(len(mh)) + mh + _u32(len(msg)) + msg)
+    with rb.BagReader(path) as r:
+        out = list(r.read_messages())
+    assert len(out) == 1
+    topic, t, raw, conn = out[0]
+    assert topic == "/imu" and abs(t - 10.0) < 1e-6
+    imu = rb.read_imu(raw)
+    np.testing.assert_allclose(imu["acc"], [0, 0, 9.81])
+
+
+def test_bag_duplicate_latched_connections(tmp_path, rng):
+    """Latched topics repeat their connection record (top level AND in later
+    chunks); duplicates must be idempotent and messages still route."""
+    path = str(tmp_path / "d.bag")
+    rng2 = np.random.default_rng(7)
+    _write_bag(path, rng2, n_scans=3)
+    # append a duplicate of every top-level connection record at EOF
+    from rgc_slam_tpu.io.rosbag import OP_CONN, _encode_header, _u32
+
+    dup = _encode_header({b"op": bytes([OP_CONN]), b"conn": _u32(0),
+                          b"topic": b"/mynteye/imu/data_raw"})
+    dupd = _encode_header({b"topic": b"/mynteye/imu/data_raw",
+                           b"type": b"sensor_msgs/Imu", b"md5sum": b"*",
+                           b"message_definition": b""})
+    with open(path, "ab") as f:
+        f.write(_u32(len(dup)) + dup + _u32(len(dupd)) + dupd)
+    scans = list(rb.scan_stream(path))
+    assert len(scans) == 3
+    assert len(scans[0]["imu_t"]) == 10
+
+
+def test_bag_bigendian_rejected(tmp_path):
+    """A set is_bigendian flag must fail loudly, not decode garbage."""
+    xyz = np.zeros((10, 3), np.float32)
+    raw = rb.encode_pointcloud2(1.0, xyz, bigendian=True)
+    with pytest.raises(IOError, match="bigendian"):
+        rb.read_pointcloud2(raw)
+
+
+def test_pointcloud2_misaligned_fields():
+    """ring (2 bytes) before time leaves 'time' on an odd offset — decoding
+    must not require aligned fields (strided-slice path)."""
+    rng2 = np.random.default_rng(8)
+    xyz, inten, ring, rel = _make_scan(rng2, n=64)
+    raw = rb.encode_pointcloud2(2.0, xyz, inten, ring, rel)
+    out = rb.read_pointcloud2(raw)
+    # field offsets: x0 y4 z8 intensity12 ring16 time18 (18 % 4 != 0)
+    np.testing.assert_allclose(out["xyz"], xyz, rtol=1e-7)
+    np.testing.assert_allclose(out["time"], rel, rtol=1e-6)
+    np.testing.assert_array_equal(out["ring"], ring)

@@ -52,7 +52,11 @@ BENCH_CONFIG = SlamConfig(
     max_loop_submap_points=8192,
 )
 
-# per-robot capacities for the vmapped fleet (HBM-bounded per chip)
+# per-robot capacities for the vmapped fleet (HBM-bounded per chip).
+# inline_compaction off: a batched lax.cond executes BOTH branches under
+# vmap, so per-scan inline eviction would pay the store-permutation gathers
+# every scan for every robot — the fleet CLI and this bench instead compact
+# on a host cadence (included in the timed window, like run.py --fleet)
 FLEET_CONFIG = SlamConfig(
     max_points=16384,
     max_source_points=4096,
@@ -62,6 +66,7 @@ FLEET_CONFIG = SlamConfig(
     max_kf_surf=1024,
     max_map_points=8192,
     max_loop_submap_points=4096,
+    inline_compaction=False,
 )
 
 FLEET_B = int(os.environ.get("RGC_BENCH_B", 128))
@@ -70,6 +75,7 @@ N_WARMUP = 5
 N_TIMED = int(os.environ.get("RGC_BENCH_TIMED", 40))
 N_REPS = int(os.environ.get("RGC_BENCH_REPS", 5))
 SKIP_SINGLE = os.environ.get("RGC_BENCH_SKIP_SINGLE", "") == "1"
+SKIP_LOOPS = os.environ.get("RGC_BENCH_SKIP_LOOPS", "") == "1"
 # dispatch chunking: run C consecutive scans inside one jit call (unrolled)
 # — C dispatches become 1, amortizing the tunnel/runtime per-call overhead
 # (measured 5.3x on the tunneled v5e: 128k -> 677k scans/sec/chip).  A real
@@ -167,6 +173,7 @@ def _single_stream(seq, n_scans: int):
 
 
 def main():
+    from rgc_slam_tpu.models.mapping import COMPACT_MARGIN
     from rgc_slam_tpu.parallel import fleet
 
     cfg = FLEET_CONFIG
@@ -177,7 +184,10 @@ def main():
 
     states = fleet.fleet_init(cfg, B)
     fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
+    fcompact = jax.jit(fleet.compact_fleet)
     flops_step = _flops_per_call(fstep.lower(states, *inputs[0]).compile())
+    # eviction cadence matching run.py --fleet (included in the timed window)
+    comp_stride = max(COMPACT_MARGIN - max(CHUNK, 1), 1)
 
     if CHUNK > 1:
         from rgc_slam_tpu.models.slam import make_chunk_step
@@ -189,10 +199,13 @@ def main():
             for k in range(N_WARMUP, N_WARMUP + n_timed, CHUNK):
                 flat = [x for j in range(CHUNK) for x in inputs[k + j]]
                 states, outs = cstep(states, *flat)
+                if (k - N_WARMUP + CHUNK) % comp_stride < CHUNK:
+                    states = fcompact(states)
             return states
 
     for k in range(N_WARMUP):
         states, outs = fstep(states, *inputs[k])
+    states = fcompact(states)
     jax.block_until_ready(states)
 
     # per-dispatch (real-time loop) rate
@@ -201,6 +214,8 @@ def main():
         t0 = time.perf_counter()
         for k in range(N_WARMUP, N_WARMUP + n_timed):
             states, outs = fstep(states, *inputs[k])
+            if (k - N_WARMUP + 1) % comp_stride == 0:
+                states = fcompact(states)
         jax.block_until_ready(states)
         rates.append(n_timed * B / (time.perf_counter() - t0))
     per_dispatch = statistics.median(rates)
@@ -214,6 +229,31 @@ def main():
             jax.block_until_ready(states)
             rates.append(n_timed * B / (time.perf_counter() - t0))
         scans_per_sec = statistics.median(rates)
+
+    # ---- full SLAM including the pose-graph thread (VERDICT r2 item 2):
+    # vmapped loop closure + PGO dispatched every cfg.loop_cadence scans,
+    # exactly like run.py --fleet; its cost is inside the timed window ----
+    with_loops = None
+    if not SKIP_LOOPS:
+        states_l = fleet.fleet_init(cfg, B)
+        loop_states = fleet.fleet_loop_init(cfg, B)
+        floop = jax.jit(functools.partial(fleet.fleet_loop_step, cfg=cfg))
+        for k in range(N_WARMUP):
+            states_l, _ = fstep(states_l, *inputs[k])
+        states_l, loop_states, _ = floop(states_l, loop_states)
+        jax.block_until_ready((states_l, loop_states))
+        rates = []
+        done = 0
+        for _ in range(N_REPS):
+            t0 = time.perf_counter()
+            for k in range(N_WARMUP, N_WARMUP + n_timed):
+                states_l, _ = fstep(states_l, *inputs[k])
+                done += 1
+                if done % cfg.loop_cadence == 0:
+                    states_l, loop_states, _ = floop(states_l, loop_states)
+            jax.block_until_ready(states_l)
+            rates.append(n_timed * B / (time.perf_counter() - t0))
+        with_loops = statistics.median(rates)
 
     single_ms = None if SKIP_SINGLE else _single_stream(seq0, n_scans)
 
@@ -234,6 +274,9 @@ def main():
                 "unit": "scans/sec",
                 "vs_baseline": round(scans_per_sec / 10.0, 2),
                 "per_dispatch_scans_per_sec": round(per_dispatch, 2),
+                "with_loops_scans_per_sec": (
+                    round(with_loops, 2) if with_loops else None
+                ),
                 "single_stream_ms_per_scan": round(single_ms, 4) if single_ms else None,
                 "fleet_step_gflops": round(flops_step / 1e9, 3) if flops_step else None,
                 "achieved_tflops_per_sec": round(achieved / 1e12, 3) if achieved else None,

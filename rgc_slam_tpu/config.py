@@ -74,8 +74,10 @@ class SlamConfig:
     # ---- IMU (ref RGC_odometer.cpp:444-716, utility.h:245-269) ----
     use_imu: bool = True
     imu_rate_hint: float = 200.0
-    imu_cov_base: float = 0.0004          # DeltaRFactor cov (low rotation)
-    imu_cov_fast: float = 0.0005          # when |d_ypr| > 0.6 deg
+    # DeltaRFactor cov during fast rotation (|d_ypr| > 0.6 deg); the
+    # slow-rotation branch uses 1 - vgicp fitness like the reference
+    # (RGC_odometer.cpp:1106-1117), so no second constant exists
+    imu_cov_fast: float = 0.0005
     gravity: float = 9.81
     # DeltaR(IMU) weight source: "reference" keeps the two hardcoded
     # constants above (RGC_odometer.cpp:1024-1119); "preint" uses the
@@ -127,6 +129,11 @@ class SlamConfig:
 
     # ---- loop closure / PGO (ref RGC_mapping.cpp:154-160,2006-2466) ----
     loop_closure_enable: bool = True
+    # scans between loop-closure/PGO dispatches — the reference's 1 Hz
+    # pose-graph thread at 10 Hz scans (RGC_mapping.cpp:1964).  One field
+    # shared by SlamSystem, the fleet CLI, and eval.py so evaluation runs
+    # the cadence users get
+    loop_cadence: int = 10
     # no-loop keyframe eviction inside mapping_step.  Disable for vmapped
     # fleets: a batched lax.cond executes BOTH branches, so the inline
     # compaction's store-permutation gathers would run every scan for every
@@ -169,6 +176,13 @@ class SlamConfig:
     # 6x6 H / b / cost are psum-reduced over ICI (scaling-book style "sp"
     # axis; composes with a "dp" fleet axis over robots — parallel/fleet.py).
     psum_axis: "str | None" = None
+    # Static shard count of the psum_axis (the mesh's sp extent).  With
+    # sp_shards > 1 the sharded stages take a BLOCK SLICE of their query
+    # points (static size n/sp_shards — a real FLOP/memory reduction per
+    # device), instead of only masking a stride; the odometry VGICP and the
+    # mapping kNN association + 12-dim GN both shard this way (VERDICT r2
+    # item 4).  Must divide the point capacities; 1 = mask-only sharding.
+    sp_shards: int = 1
 
     @property
     def expected_ground_ranges(self) -> Tuple[float, ...]:

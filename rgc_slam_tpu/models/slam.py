@@ -199,8 +199,9 @@ class SlamSystem:
         self._frame += 1
         self.trajectory.append((stamp, np.asarray(out.q_map), np.asarray(out.t_map)))
         self.odom_trajectory.append((stamp, np.asarray(out.q_odom), np.asarray(out.t_odom)))
-        # reference runs PGO at 1 Hz (RGC_mapping.cpp:1964) — every 10 scans
-        if self._loop_fn is not None and self._frame % 10 == 0:
+        # reference runs PGO at 1 Hz (RGC_mapping.cpp:1964) — every
+        # cfg.loop_cadence scans
+        if self._loop_fn is not None and self._frame % self.cfg.loop_cadence == 0:
             self.state, self.loop_state, _ = self._loop_fn(
                 self.state, self.loop_state
             )
@@ -210,8 +211,8 @@ class SlamSystem:
         """Advance ``len(items)`` scans in one dispatch (requires chunk > 1
         at construction and len(items) == chunk; feed a final partial chunk
         through ``process``).  items: [(cloud, imu, stamp), ...].  Loop
-        closure keeps its every-10-scans cadence, evaluated once per chunk
-        boundary crossed."""
+        closure keeps its every-loop_cadence-scans cadence, evaluated once
+        per chunk boundary crossed."""
         assert self._chunk_step is not None and len(items) == self.chunk
         flat = [
             x
@@ -219,7 +220,8 @@ class SlamSystem:
             for x in (cloud, imu, jnp.asarray(stamp, jnp.float32))
         ]
         self.state, outs = self._chunk_step(self.state, *flat)
-        loops_due = (self._frame + self.chunk) // 10 - self._frame // 10
+        lc = self.cfg.loop_cadence
+        loops_due = (self._frame + self.chunk) // lc - self._frame // lc
         self._frame += self.chunk
         for (cloud, imu, stamp), out in zip(items, outs):
             self.trajectory.append(

@@ -62,6 +62,42 @@ def compact_fleet(states: SlamState) -> SlamState:
     return states.replace(mapping=jax.vmap(one)(states.mapping))
 
 
+def fleet_loop_init(cfg: SlamConfig, n_robots: int):
+    """Batched LoopState [B, ...] for fleet loop closure."""
+    from ..models.loop import LoopState
+
+    one = LoopState.init(cfg)
+    return jax.tree.map(lambda a: jnp.broadcast_to(a, (n_robots,) + a.shape), one)
+
+
+def fleet_loop_step(states: SlamState, loop_states, cfg: SlamConfig):
+    """vmapped loop_closure_step — fleet SLAM includes the pose-graph thread
+    (the reference always runs it when enabled, RGC_mapping.cpp:303-304,1962;
+    VERDICT r2 item 2).  Host-cadenced like SlamSystem (every
+    cfg.loop_cadence scans); the PGO lax.cond executes both branches under
+    vmap, which the cadence amortizes.  Also performs the loop-aware
+    keyframe-store compaction, so fleets running loops must NOT mix in
+    ``compact_fleet`` (it would relabel keyframes under the loop store)."""
+    from ..models.loop import loop_closure_step
+
+    return jax.vmap(functools.partial(loop_closure_step, cfg=cfg))(
+        states, loop_states
+    )
+
+
+def fleet_loop_compact(states: SlamState, loop_states, cfg: SlamConfig):
+    """vmapped loop-AWARE compaction only (no detection/PGO) — the eviction
+    backstop between loop-closure dispatches when the chunked cadence could
+    otherwise exceed the keyframe headroom (see run.py --fleet)."""
+    from ..models.loop import _maybe_compact
+
+    def one(s, ls):
+        return _maybe_compact(s, ls, cfg)
+
+    new_states, new_ls = jax.vmap(one)(states, loop_states)
+    return new_states, new_ls
+
+
 def make_mesh(n_dp: int, n_sp: int) -> Mesh:
     devs = np.asarray(jax.devices()[: n_dp * n_sp]).reshape(n_dp, n_sp)
     return Mesh(devs, axis_names=("dp", "sp"))
@@ -75,7 +111,16 @@ def make_distributed_step(mesh: Mesh, cfg: SlamConfig):
     inputs are replicated over sp and sharded over dp.  Returns a function
     (states, clouds, imus, stamps) -> (states, outputs, fleet_mean_fitness).
     """
-    sp_cfg = dataclasses.replace(cfg, psum_axis="sp")
+    n_sp = int(mesh.shape["sp"])
+    # block-slice sharding needs the point capacities divisible by sp;
+    # otherwise fall back to stride-masked sharding (correct, less speedup)
+    divisible = all(
+        c % n_sp == 0
+        for c in (cfg.max_source_points, cfg.max_kf_corner, cfg.max_kf_surf)
+    )
+    sp_cfg = dataclasses.replace(
+        cfg, psum_axis="sp", sp_shards=n_sp if divisible else 1
+    )
 
     def local_step(states, clouds, imus, stamps):
         new_states, outs = jax.vmap(functools.partial(slam_step, cfg=sp_cfg))(

@@ -171,15 +171,19 @@ def main(argv=None):
         from .models.mapping import COMPACT_MARGIN
         from .parallel import fleet
 
-        # fleet mode runs no loop-closure thread, so keyframe eviction must
-        # come from the host cadence below — and the inline (per-scan) cond
-        # would execute both branches under vmap (see fleet.compact_fleet)
-        if cfg.loop_closure_enable:
-            print("[fleet] loop closure disabled (not run in fleet mode); "
-                  "keyframe eviction runs on a host cadence instead")
-        cfg = dataclasses.replace(
-            cfg, loop_closure_enable=False, inline_compaction=False
-        )
+        # surface unsupported flag combinations instead of silently ignoring
+        # them (ADVICE r2): fleet mode has no per-frame dump / viz / ckpt
+        for flag, name in [
+            (args.dump_frames, "--dump-frames"), (args.viz, "--viz"),
+            (args.viz_every, "--viz-every"), (args.save_ckpt, "--save-ckpt"),
+            (args.localize, "--localize"),
+        ]:
+            if flag:
+                raise SystemExit(f"{name} is not supported with --fleet")
+
+        # the per-scan inline-compaction cond would execute both branches
+        # under vmap (see fleet.compact_fleet) — eviction runs host-cadenced
+        cfg = dataclasses.replace(cfg, inline_compaction=False)
         B = args.fleet
         C = max(args.chunk, 1)
         if C > COMPACT_MARGIN:
@@ -191,7 +195,19 @@ def main(argv=None):
             )
         states = fleet.fleet_init(cfg, B)
         fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
-        fcompact = jax.jit(fleet.compact_fleet)
+        # loop closure + PGO run vmapped on the SlamSystem cadence (the
+        # reference's pose-graph thread always runs when enabled,
+        # RGC_mapping.cpp:303-304,1962); its compaction is loop-aware, so
+        # the loop path must NOT also run fleet.compact_fleet
+        run_loops = cfg.loop_closure_enable and cfg.map_update
+        if run_loops:
+            loop_states = fleet.fleet_loop_init(cfg, B)
+            floop = jax.jit(functools.partial(fleet.fleet_loop_step, cfg=cfg))
+            fcompact_loop = jax.jit(
+                functools.partial(fleet.fleet_loop_compact, cfg=cfg)
+            )
+        else:
+            fcompact = jax.jit(fleet.compact_fleet)
         if C > 1:
             # chunked dispatch (bench.py's 3-5x lever) for the fleet too
             from .models.slam import make_chunk_step
@@ -215,6 +231,24 @@ def main(argv=None):
             )
             return (b[0], b[1], stamps)
 
+        # eviction stride: consecutive compaction calls must stay within
+        # COMPACT_MARGIN scans even when a chunk delays the boundary by up
+        # to C-1 scans (ADVICE r2) — stride + C - 1 < COMPACT_MARGIN
+        comp_stride = max(COMPACT_MARGIN - C, 1)
+        lc = cfg.loop_cadence
+
+        def maybe_housekeep(n_before, n_after):
+            nonlocal states, loop_states
+            if run_loops:
+                for _ in range(n_after // lc - n_before // lc):
+                    states, loop_states, _info = floop(states, loop_states)
+                # backstop: loop-aware eviction between loop dispatches
+                if (n_after // lc == n_before // lc
+                        and n_after // comp_stride != n_before // comp_stride):
+                    states, loop_states = fcompact_loop(states, loop_states)
+            elif n_after // comp_stride != n_before // comp_stride:
+                states = fcompact(states)
+
         for item in feed:
             buf.append(batch(item))
             if len(buf) < C:
@@ -225,16 +259,16 @@ def main(argv=None):
                 outs = chunk_outs[-1]
             else:
                 states, outs = fstep(states, *buf[0])
+            maybe_housekeep(n, n + len(buf))
             n += len(buf)
             buf = []
-            if n % COMPACT_MARGIN < C:
-                states = fcompact(states)
             if n % 50 < C:
                 fit = np.asarray(outs.fitness)
                 print(f"  scan {n}: fleet fitness med={np.median(fit):.4f} "
                       f"max={fit.max():.4f}")
         for triple in buf:                       # trailing partial chunk
             states, outs = fstep(states, *triple)
+            maybe_housekeep(n, n + 1)
             n += 1
         if outs is None:
             print("fleet: no scans in the source (check topic names / file)")

@@ -408,21 +408,60 @@ def mapping_step(
     )
     w_ground = jnp.where(ground_on, 1.0, 0.0).astype(dtype)
 
+    # ---- sp point sharding (VERDICT r2 item 4): each device associates and
+    # linearizes a BLOCK SLICE of the query points of all four clouds — the
+    # kNN distance matrices and line/plane fits shrink by the shard count
+    # (the reference's OpenMP point loops, RGC_mapping.cpp:1093-1283) — and
+    # the 12-dim GN H/g partials are psum-reduced.  Factors replicated on
+    # every device are pre-scaled by rsqrt(n_sp) so the psum counts them
+    # once.  The keyframe store below keeps the FULL clouds, so state stays
+    # replica-consistent.
+    n_sp = cfg.sp_shards if cfg.psum_axis is not None else 1
+    if n_sp > 1:
+        def shard_slice(pts, conf, mask):
+            per = pts.shape[0] // n_sp
+            start = jax.lax.axis_index(cfg.psum_axis) * per
+            sl = lambda a: jax.lax.dynamic_slice_in_dim(a, start, per)
+            return sl(pts), sl(conf), sl(mask)
+
+        corner_q, corner_q_conf, corner_q_mask = shard_slice(
+            corner_xyz, corner_conf, corner_mask
+        )
+        cornl_q, cornl_q_conf, cornl_q_mask = shard_slice(
+            state.last_corner, state.last_corner_conf, state.last_corner_mask
+        )
+        surf_q, surf_q_conf, surf_q_mask = shard_slice(surf_xyz, surf_conf, surf_mask)
+        surfl_q, surfl_q_conf, surfl_q_mask = shard_slice(
+            state.last_surf, state.last_surf_conf, state.last_surf_mask
+        )
+        rep_scale = jax.lax.rsqrt(jnp.asarray(float(n_sp), dtype))
+    else:
+        corner_q, corner_q_conf, corner_q_mask = corner_xyz, corner_conf, corner_mask
+        cornl_q, cornl_q_conf, cornl_q_mask = (
+            state.last_corner, state.last_corner_conf, state.last_corner_mask
+        )
+        surf_q, surf_q_conf, surf_q_mask = surf_xyz, surf_conf, surf_mask
+        surfl_q, surfl_q_conf, surfl_q_mask = (
+            state.last_surf, state.last_surf_conf, state.last_surf_mask
+        )
+        rep_scale = jnp.asarray(1.0, dtype)
+    gn_axis = cfg.psum_axis if n_sp > 1 else None
+
     # ---- two outer iterations: freeze correspondences, 6 GN steps ----
     def outer(carry, _):
         q, t, ql, tl = carry
-        pw_c = m3.quat_rotate(q[None, :], corner_xyz) + t[None, :]
-        pw_cl = m3.quat_rotate(ql[None, :], state.last_corner) + tl[None, :]
-        pw_s = m3.quat_rotate(q[None, :], surf_xyz) + t[None, :]
-        pw_sl = m3.quat_rotate(ql[None, :], state.last_surf) + tl[None, :]
+        pw_c = m3.quat_rotate(q[None, :], corner_q) + t[None, :]
+        pw_cl = m3.quat_rotate(ql[None, :], cornl_q) + tl[None, :]
+        pw_s = m3.quat_rotate(q[None, :], surf_q) + t[None, :]
+        pw_sl = m3.quat_rotate(ql[None, :], surfl_q) + tl[None, :]
 
-        ec = edge_correspondences(pw_c, corner_conf, corner_mask, cm_pts, cm_mask, cfg)
+        ec = edge_correspondences(pw_c, corner_q_conf, corner_q_mask, cm_pts, cm_mask, cfg)
         ecl = edge_correspondences(
-            pw_cl, state.last_corner_conf, state.last_corner_mask, cm_pts, cm_mask, cfg
+            pw_cl, cornl_q_conf, cornl_q_mask, cm_pts, cm_mask, cfg
         )
-        pc = plane_correspondences(pw_s, surf_conf, surf_mask, sm_pts, sm_mask, cfg)
+        pc = plane_correspondences(pw_s, surf_q_conf, surf_q_mask, sm_pts, sm_mask, cfg)
         pcl = plane_correspondences(
-            pw_sl, state.last_surf_conf, state.last_surf_mask, sm_pts, sm_mask, cfg
+            pw_sl, surfl_q_conf, surfl_q_mask, sm_pts, sm_mask, cfg
         )
 
         def lidar_residuals(delta):
@@ -432,10 +471,10 @@ def mapping_step(
             tlc = tl + delta[9:12]
             return jnp.concatenate(
                 [
-                    _edge_residuals(qc, tc, corner_xyz, ec),
-                    _edge_residuals(qlc, tlc, state.last_corner, ecl),
-                    _plane_residuals(qc, tc, surf_xyz, pc),
-                    _plane_residuals(qlc, tlc, state.last_surf, pcl),
+                    _edge_residuals(qc, tc, corner_q, ec),
+                    _edge_residuals(qlc, tlc, cornl_q, ecl),
+                    _plane_residuals(qc, tc, surf_q, pc),
+                    _plane_residuals(qlc, tlc, surfl_q, pcl),
                 ]
             )
 
@@ -444,35 +483,46 @@ def mapping_step(
             tc = t + delta[3:6]
             qlc = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[6:9]), ql))
             tlc = tl + delta[9:12]
+            # non-lidar factors are replicated on every sp device: rep_scale
+            # (rsqrt(n_sp)) makes the psum'd H/g count them exactly once
             r = [
                 lidar_residuals(delta),
-                fac.relative_r_residual(qlc, qc, odo.delta_q_imu, imu_cov) * w_imu,
-                fac.pitchroll_residual(qc, imu_ypr[1], imu_ypr[2], 0.02) * w_imu,
-                fac.pitchroll_residual(qlc, state.imu_ypr_last[1], state.imu_ypr_last[2], 0.02) * w_imu,
+                fac.relative_r_residual(qlc, qc, odo.delta_q_imu, imu_cov)
+                * (w_imu * rep_scale),
+                fac.pitchroll_residual(qc, imu_ypr[1], imu_ypr[2], 0.02)
+                * (w_imu * rep_scale),
+                fac.pitchroll_residual(
+                    qlc, state.imu_ypr_last[1], state.imu_ypr_last[2], 0.02
+                ) * (w_imu * rep_scale),
                 fac.ground_goable_residual(
                     qc, tc, state.q_w_last, state.t_w_last,
                     state.ground_last, ground_cur, q_w_curr_f, 0.2,
-                ) * w_ground,
+                ) * (w_ground * rep_scale),
                 fac.ground_goable_residual(
                     qlc, tlc, state.q_w_last2, state.t_w_last2,
                     state.ground_last2, state.ground_last, q_w_curr_f2, 0.2,
-                ) * w_ground,
+                ) * (w_ground * rep_scale),
             ]
             return jnp.concatenate(r)
 
         if cfg.degeneracy_thresh > 0:
             P, _ = fac.degeneracy_projection(
-                lidar_residuals, 12, cfg.degeneracy_thresh
+                lidar_residuals, 12, cfg.degeneracy_thresh, psum_axis=gn_axis
             )
         else:
             P = None
-        delta = fac.gauss_newton(residuals, 12, iterations=6, project=P)
+        delta = fac.gauss_newton(
+            residuals, 12, iterations=6, project=P, psum_axis=gn_axis
+        )
         q = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[0:3]), q))
         t = t + delta[3:6]
         ql = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[6:9]), ql))
         tl = tl + delta[9:12]
         n_edge = jnp.sum(ec.w > 0)
         n_plane = jnp.sum(pc.w > 0)
+        if gn_axis is not None:
+            n_edge = jax.lax.psum(n_edge, gn_axis)
+            n_plane = jax.lax.psum(n_plane, gn_axis)
         return (q, t, ql, tl), (n_edge, n_plane)
 
     (q_opt, t_opt, _, _), (ne, np_) = jax.lax.scan(

@@ -190,6 +190,7 @@ def gauss_newton(
     damping: float = 1e-6,
     step_clip: float = 1.0,
     project=None,
+    psum_axis=None,
 ):
     """Iterate x <- x + solve(J^T J, -J^T r) from x=0 via jacfwd.
 
@@ -199,12 +200,22 @@ def gauss_newton(
     per-scan problems it serves — mirrors Ceres' 6-iteration DENSE_QR usage,
     RGC_odometer.cpp:1188-1193).
     Returns the final tangent step x*.
+
+    With ``psum_axis`` the residual rows live point-sharded across the named
+    mesh axis: each device linearizes its slice, and the dim×dim H / g
+    partials are all-reduced before the solve (the TPU analog of the OpenMP
+    reductions in RGC_mapping.cpp:1093-1283).  Residual rows replicated on
+    every device must be pre-scaled by rsqrt(axis size) so the psum counts
+    them once.
     """
     def body(_, x):
         r = residual_fn(x)
         J = jax.jacfwd(residual_fn)(x)
         H = J.T @ J + damping * jnp.eye(dim, dtype=r.dtype)
         g = J.T @ r
+        if psum_axis is not None:
+            H = jax.lax.psum(H, psum_axis)
+            g = jax.lax.psum(g, psum_axis)
         # diagonal equilibration: residual weights span ~1e3 (ground factors
         # at var/1000), so H spans ~1e7 — an unscaled f32 solve destroys the
         # weakly-constrained directions (Ceres survives this in f64)
@@ -226,6 +237,7 @@ def degeneracy_projection(
     residual_fn: Callable[[jax.Array], jax.Array],
     dim: int,
     eig_thresh: float,
+    psum_axis=None,
 ):
     """Projection matrix keeping only well-constrained directions of J^T J.
 
@@ -238,6 +250,11 @@ def degeneracy_projection(
     """
     J = jax.jacfwd(residual_fn)(jnp.zeros(dim))
     H = J.T @ J
+    if psum_axis is not None:
+        # point-sharded residuals: the projection must come from the GLOBAL
+        # normal matrix or replicas would project along different eigenbases
+        # and their states would diverge
+        H = jax.lax.psum(H, psum_axis)
     w, V = jnp.linalg.eigh(H)
     keep = (w > eig_thresh).astype(H.dtype)
     P = (V * keep[None, :]) @ V.T

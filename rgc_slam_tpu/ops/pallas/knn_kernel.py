@@ -131,7 +131,10 @@ def knn_pallas(queries, points, points_mask, k: int, interpret: bool = False):
         ],
         interpret=interpret,
     )(q4, p4, p2)
-    return d[:qn], i[:qn]
+    # unfilled slots carry the (inf, n_pad) scratch seed; clamp indices into
+    # [0, n) so consumers gating on mask[idx] read a real (if masked) column,
+    # matching the XLA path's always-in-range indices (ADVICE r2)
+    return d[:qn], jnp.minimum(i[:qn], n - 1)
 
 
 def knn_supported(qn: int, n: int, k: int) -> bool:

@@ -29,6 +29,11 @@ def test_all_masked(rng):
     m = jnp.zeros(128, bool)
     d, i = knn_pallas(q, p, m, 5, interpret=True)
     assert np.isinf(np.asarray(d)).all()
+    # indices must stay in [0, n) even for unfilled slots (ADVICE r2): a
+    # consumer gating on mask[idx] then reads a real masked column, exactly
+    # like the XLA path
+    ia = np.asarray(i)
+    assert (ia >= 0).all() and (ia < 128).all(), (ia.min(), ia.max())
 
 
 def test_supported_gate():

@@ -70,8 +70,23 @@ def fleet_differential(B: int = 128, n_timed: int = 40):
         if only_features:
             f = jax.jit(jax.vmap(functools.partial(F.extract_features, cfg=vcfg)))
             step = lambda st, cl, im, sp: (st, f(cl))
+            lowered = jax.jit(
+                lambda st, cl, im, sp: (st, f(cl))
+            ).lower(states, *inputs[0])
         else:
             step = jax.jit(functools.partial(fleet.fleet_step, cfg=vcfg))
+            lowered = step.lower(states, *inputs[0])
+        # deterministic work columns: wall time on the tunnel is the ~0.4 ms
+        # dispatch floor for every variant, so per-stage DEVICE cost is read
+        # from XLA cost analysis (flops/bytes), not wall differences
+        try:
+            ca = lowered.compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            gf = ca.get("flops", 0.0) / 1e9
+            gb = ca.get("bytes accessed", 0.0) / 1e9
+        except Exception:
+            gf = gb = float("nan")
         for k in range(4):
             states, out = step(states, *inputs[k])
         jax.block_until_ready(out)
@@ -83,8 +98,9 @@ def fleet_differential(B: int = 128, n_timed: int = 40):
             jax.block_until_ready(out)
             reps.append((time.perf_counter() - t0) / n_timed * 1e3)
         ms = statistics.median(reps)
-        print(f"{name:22s} {ms:8.3f} ms/fleet-step (B={B})", flush=True)
-        return ms
+        print(f"{name:22s} {ms:8.3f} ms/fleet-step (B={B})  "
+              f"flops={gf:8.2f} G  bytes={gb:8.2f} GB", flush=True)
+        return ms, gf, gb
 
     full = run_variant("full", cfg)
     nomap = run_variant("mapping skipped", dataclasses.replace(
@@ -92,9 +108,12 @@ def fleet_differential(B: int = 128, n_timed: int = 40):
     lm1 = run_variant("nomap + LM capped 1", dataclasses.replace(
         cfg, mapping_skip_frame=1_000_000_000, vgicp_max_iterations=1))
     feat = run_variant("features only", cfg, only_features=True)
-    print(f"{'mapping share≈':22s} {full - nomap:8.3f} ms")
-    print(f"{'vgicp LM share≈':22s} {nomap - lm1:8.3f} ms")
-    print(f"{'features(+floor)≈':22s} {feat:8.3f} ms")
+    print(f"{'mapping share≈':22s} {full[0] - nomap[0]:8.3f} ms  "
+          f"{full[1] - nomap[1]:8.2f} Gflop  {full[2] - nomap[2]:8.2f} GB")
+    print(f"{'vgicp LM share≈':22s} {nomap[0] - lm1[0]:8.3f} ms  "
+          f"{nomap[1] - lm1[1]:8.2f} Gflop  {nomap[2] - lm1[2]:8.2f} GB")
+    print(f"{'features(+floor)≈':22s} {feat[0]:8.3f} ms  {feat[1]:8.2f} Gflop  "
+          f"{feat[2]:8.2f} GB")
     return dict(full=full, nomap=nomap, lm1=lm1, feat=feat)
 
 

@@ -211,11 +211,13 @@ def gauss_newton(
     def body(_, x):
         r = residual_fn(x)
         J = jax.jacfwd(residual_fn)(x)
-        H = J.T @ J + damping * jnp.eye(dim, dtype=r.dtype)
+        H = J.T @ J
         g = J.T @ r
         if psum_axis is not None:
+            # reduce BEFORE damping so the ridge is sp-size-invariant
             H = jax.lax.psum(H, psum_axis)
             g = jax.lax.psum(g, psum_axis)
+        H = H + damping * jnp.eye(dim, dtype=r.dtype)
         # diagonal equilibration: residual weights span ~1e3 (ground factors
         # at var/1000), so H spans ~1e7 — an unscaled f32 solve destroys the
         # weakly-constrained directions (Ceres survives this in f64)

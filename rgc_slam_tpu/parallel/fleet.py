@@ -62,6 +62,23 @@ def compact_fleet(states: SlamState) -> SlamState:
     return states.replace(mapping=jax.vmap(one)(states.mapping))
 
 
+def compact_fleet_if_needed(states: SlamState, fcompact=None) -> SlamState:
+    """Host-gated compaction: fetch the tiny per-robot kf_count vector and
+    dispatch ``compact_fleet`` only when some robot is actually within
+    COMPACT_MARGIN of capacity.  The unconditional call moves the whole
+    keyframe store (hundreds of MB at B=128) through a where-select every
+    cadence; this costs one small device->host sync instead, which is ~10x
+    cheaper when stores are cold (bench-measured).  ``fcompact`` lets the
+    caller pass a pre-jitted compact_fleet."""
+    from ..models.mapping import COMPACT_MARGIN
+
+    counts = np.asarray(states.mapping.kf_count)
+    K = states.mapping.kf_q.shape[-2]          # [..., K, 4]
+    if (counts >= K - COMPACT_MARGIN).any():
+        return (fcompact or compact_fleet)(states)
+    return states
+
+
 def fleet_loop_init(cfg: SlamConfig, n_robots: int):
     """Batched LoopState [B, ...] for fleet loop closure."""
     from ..models.loop import LoopState

@@ -243,11 +243,19 @@ def main(argv=None):
                 for _ in range(n_after // lc - n_before // lc):
                     states, loop_states, _info = floop(states, loop_states)
                 # backstop: loop-aware eviction between loop dispatches
+                # (host-gated on the tiny kf_count fetch)
                 if (n_after // lc == n_before // lc
                         and n_after // comp_stride != n_before // comp_stride):
-                    states, loop_states = fcompact_loop(states, loop_states)
+                    from .models.mapping import COMPACT_MARGIN as _CM
+
+                    counts = np.asarray(states.mapping.kf_count)
+                    K_cap = states.mapping.kf_q.shape[-2]
+                    if (counts >= K_cap - _CM).any():
+                        states, loop_states = fcompact_loop(states, loop_states)
             elif n_after // comp_stride != n_before // comp_stride:
-                states = fcompact(states)
+                # host-gated: tiny kf_count fetch; the full store shuffle
+                # only dispatches when a robot is actually near capacity
+                states = fleet.compact_fleet_if_needed(states, fcompact)
 
         for item in feed:
             buf.append(batch(item))

@@ -137,6 +137,35 @@ def test_cli_fleet_mode(tmp_path, monkeypatch):
 
 
 @pytest.mark.slow
+def test_cli_fleet_with_loops(tmp_path, monkeypatch):
+    """Fleet SLAM keeps the pose-graph thread: the vmapped loop step fires
+    on the cadence (scan 10 here) and the run completes (r3)."""
+    from rgc_slam_tpu import run as cli
+    import rgc_slam_tpu.io.synthetic as syn
+
+    orig = syn.generate_sequence
+
+    def small(**kw):
+        kw.update(n_azimuth=120)
+        return orig(**kw)
+
+    monkeypatch.setattr(syn, "generate_sequence", small)
+    out = tmp_path / "fl"
+    cli.main(["--synthetic", "12", "--out-dir", str(out), "--fleet", "2"])
+    poses = np.loadtxt(out / "fleet_final_poses.txt")
+    assert poses.shape == (2, 3) and np.isfinite(poses).all()
+
+
+def test_cli_fleet_rejects_unsupported_flags(tmp_path):
+    """--fleet with per-frame dump / ckpt flags must fail loudly (ADVICE r2)."""
+    from rgc_slam_tpu import run as cli
+
+    with pytest.raises(SystemExit, match="--save-ckpt"):
+        cli.main(["--synthetic", "3", "--out-dir", str(tmp_path / "x"),
+                  "--fleet", "2", "--save-ckpt", str(tmp_path / "ck")])
+
+
+@pytest.mark.slow
 def test_chunked_system_matches_sequential(tmp_path):
     """SlamSystem(chunk=3) must produce the same trajectory as chunk=1 (the
     chunked program runs the identical per-scan computation; only dispatch

@@ -32,7 +32,13 @@ import functools
 import json
 import os
 import statistics
+import sys
 import time
+
+
+def _note(msg: str) -> None:
+    """Progress marker on stderr (stdout stays the single JSON line)."""
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 import jax
 import jax.numpy as jnp
@@ -173,21 +179,28 @@ def _single_stream(seq, n_scans: int):
 
 
 def main():
-    from rgc_slam_tpu.models.mapping import COMPACT_MARGIN
     from rgc_slam_tpu.parallel import fleet
 
     cfg = FLEET_CONFIG
     B = FLEET_B
+    _note(f"staging inputs (B={B})")
     inputs, seq0 = _stage_inputs(cfg, B, N_WARMUP + N_TIMED + 2)
     n_scans = len(inputs)
     n_timed = min(N_TIMED, n_scans - N_WARMUP)
 
+    _note("inputs staged; compiling fleet step")
     states = fleet.fleet_init(cfg, B)
     fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
     fcompact = jax.jit(fleet.compact_fleet)
+    # async host-gated eviction matching run.py --fleet (included in the
+    # timed window).  CompactGate pipelines the near-capacity fetch so the
+    # device->host round-trip (~30 ms on the tunnel) is off the dispatch
+    # path; the stride contract absorbs the one-stride staleness.
+    gate = fleet.CompactGate(fcompact)
     flops_step = _flops_per_call(fstep.lower(states, *inputs[0]).compile())
-    # eviction cadence matching run.py --fleet (included in the timed window)
-    comp_stride = max(COMPACT_MARGIN - max(CHUNK, 1), 1)
+    comp_stride = fleet.CompactGate.stride(1)
+    comp_stride_chunk = fleet.CompactGate.stride(max(CHUNK, 1))
+    _note("fleet step compiled")
 
     if CHUNK > 1:
         from rgc_slam_tpu.models.slam import make_chunk_step
@@ -199,13 +212,17 @@ def main():
             for k in range(N_WARMUP, N_WARMUP + n_timed, CHUNK):
                 flat = [x for j in range(CHUNK) for x in inputs[k + j]]
                 states, outs = cstep(states, *flat)
-                if (k - N_WARMUP + CHUNK) % comp_stride < CHUNK:
-                    states = fleet.compact_fleet_if_needed(states, fcompact)
+                if (k - N_WARMUP + CHUNK) % comp_stride_chunk < CHUNK:
+                    states = gate.check(states)
             return states
 
+    _note("warmup + chunk compile")
     for k in range(N_WARMUP):
         states, outs = fstep(states, *inputs[k])
-    states = fleet.compact_fleet_if_needed(states, fcompact)
+    # prime pays the one-time device->host transfer-path setup here, outside
+    # the timed windows, and seeds the async gate pipeline
+    gate.prime(states)
+    states = gate.check(states)
     jax.block_until_ready(states)
 
     # per-dispatch (real-time loop) rate; the host-gated eviction check
@@ -216,10 +233,11 @@ def main():
         for k in range(N_WARMUP, N_WARMUP + n_timed):
             states, outs = fstep(states, *inputs[k])
             if (k - N_WARMUP + 1) % comp_stride == 0:
-                states = fleet.compact_fleet_if_needed(states, fcompact)
+                states = gate.check(states)
         jax.block_until_ready(states)
         rates.append(n_timed * B / (time.perf_counter() - t0))
     per_dispatch = statistics.median(rates)
+    _note(f"per-dispatch done: {per_dispatch:.0f} scans/sec")
 
     scans_per_sec = per_dispatch
     if CHUNK > 1:
@@ -230,12 +248,14 @@ def main():
             jax.block_until_ready(states)
             rates.append(n_timed * B / (time.perf_counter() - t0))
         scans_per_sec = statistics.median(rates)
+        _note(f"chunked done: {scans_per_sec:.0f} scans/sec")
 
     # ---- full SLAM including the pose-graph thread (VERDICT r2 item 2):
     # vmapped loop closure + PGO dispatched every cfg.loop_cadence scans,
     # exactly like run.py --fleet; its cost is inside the timed window ----
     with_loops = None
     if not SKIP_LOOPS:
+        _note("compiling loop step")
         states_l = fleet.fleet_init(cfg, B)
         loop_states = fleet.fleet_loop_init(cfg, B)
         floop = jax.jit(functools.partial(fleet.fleet_loop_step, cfg=cfg))
@@ -255,7 +275,9 @@ def main():
             jax.block_until_ready(states_l)
             rates.append(n_timed * B / (time.perf_counter() - t0))
         with_loops = statistics.median(rates)
+        _note(f"with-loops done: {with_loops:.0f} scans/sec")
 
+    _note("single-stream")
     single_ms = None if SKIP_SINGLE else _single_stream(seq0, n_scans)
 
     dev = jax.devices()[0].device_kind

@@ -223,6 +223,101 @@ def p2plane_register(
     return RegistrationResult(q=q, t=t, fitness=fit, n_corr=n, iterations=it, H=H)
 
 
+def gicp_mp_register(
+    src: jax.Array, src_mask: jax.Array,
+    tgt: jax.Array, tgt_mask: jax.Array,
+    q0: jax.Array, t0: jax.Array,
+    cfg: SlamConfig,
+    knn_k: int = 20,
+    radius: float = 0.5,
+    fuse_k: int = 16,
+    max_iters: int = 64,
+) -> RegistrationResult:
+    """FastGICPMultiPoints (G5, experimental/fast_gicp_mp_impl.hpp).
+
+    Each source point fuses ALL target neighbors within ``radius`` into a
+    single weighted Gaussian — weight ``clip(1 - d/r, 1e-3, 1)`` over the
+    radius search (fast_gicp_mp_impl.hpp:138-195) — then minimizes the
+    reference's experimental whitened residual ``M^-1 (mean_B - T mean_A)``
+    with plain Gauss-Newton (no LM damping), recomputing correspondences
+    every iteration (fast_gicp_mp_impl.hpp:92-108).  Update semantics mirror
+    the reference exactly: ``R <- exp(-dr) R``, ``t <- t - dt``
+    (fast_gicp_mp_impl.hpp:101-102 — note t is NOT rotated by the increment,
+    unlike LsqRegistration), and the convergence test is the shared
+    max(|exp(dr)-I|/rot_eps, |dt|/t_eps) < 1 (fast_gicp_mp_impl.hpp:117-127).
+
+    TPU-native deviations: the unbounded radius search becomes a ``fuse_k``
+    nearest-neighbor gather masked at ``radius`` (fixed shapes for jit; the
+    weight profile already de-emphasizes far neighbors so truncation at
+    fuse_k is benign), and the OpenMP point loop is one batched einsum
+    program.  The reference never builds this class (dead experimental code,
+    SURVEY §2.3 G5); it is provided for API completeness.
+    """
+    src_cov = knn_covariances(src, src_mask, knn_k)
+    tgt_cov = knn_covariances(tgt, tgt_mask, knn_k)
+    dtype = src.dtype
+    eye6 = jnp.eye(6, dtype=dtype)
+    r2 = jnp.asarray(radius * radius, dtype)
+
+    def linearize(q, t):
+        Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
+        d2, idx = knn_ops.knn(Tp, tgt, tgt_mask, fuse_k)          # [N, k]
+        ok = src_mask[:, None] & jnp.isfinite(d2) & (d2 <= r2)
+        w = jnp.clip(1.0 - jnp.sqrt(jnp.maximum(d2, 0.0)) / radius, 1e-3, 1.0)
+        w = jnp.where(ok, w, 0.0)
+        wsum = jnp.sum(w, axis=1)
+        has = wsum > 0                                            # ref: skip empty
+        denom = jnp.maximum(wsum, 1e-6)
+        mean_B = jnp.einsum("nk,nki->ni", w, tgt[idx]) / denom[:, None]
+        cov_B = jnp.einsum("nk,nkij->nij", w, tgt_cov[idx]) / denom[:, None, None]
+        R = m3.quat_to_mat(q)
+        RCR = cov_B + jnp.einsum("ij,njk,lk->nil", R, src_cov, R)
+        Minv = _inv3_sym(RCR)
+        d = mean_B - Tp
+        r = jnp.einsum("nij,nj->ni", Minv, d)                     # ref loss: M^-1 d
+        # ref jlossexp = M^-1 [skew(Tp) | -I]  (fast_gicp_mp_impl.hpp:205-213)
+        J = jnp.concatenate(
+            [jnp.einsum("nij,njk->nik", Minv, m3.skew(Tp)), -Minv], axis=-1
+        )                                                         # [N, 3, 6]
+        wm = has.astype(dtype)
+        H = jnp.einsum("n,nri,nrj->ij", wm, J, J)
+        b = jnp.einsum("n,nri,nr->i", wm, J, r)
+        cost = jnp.sum(wm * jnp.sum(r * r, axis=-1))
+        return H, b, cost, jnp.sum(has)
+
+    def is_converged(delta):
+        dR = m3.quat_to_mat(m3.quat_exp(delta[:3])) - jnp.eye(3, dtype=dtype)
+        return (
+            jnp.maximum(
+                jnp.max(jnp.abs(dR)) / cfg.rotation_epsilon,
+                jnp.max(jnp.abs(delta[3:])) / cfg.translation_epsilon,
+            )
+            < 1.0
+        )
+
+    def cond(s):
+        q, t, conv, it = s
+        return (~conv) & (it < max_iters)
+
+    def body(s):
+        q, t, conv, it = s
+        H, b, _, _ = linearize(q, t)
+        delta = jnp.linalg.solve(H + 1e-9 * eye6, b)
+        q_new = m3.quat_normalize(m3.quat_mul(m3.quat_exp(-delta[:3]), q))
+        t_new = t - delta[3:]
+        return (q_new, t_new, is_converged(delta), it + 1)
+
+    s0 = (q0.astype(dtype), t0.astype(dtype), jnp.asarray(False),
+          jnp.asarray(0, jnp.int32))
+    q, t, conv, it = jax.lax.while_loop(cond, body, s0)
+    H, b, cost, n = linearize(q, t)
+    Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
+    d2, _ = knn_ops.knn(Tp, tgt, tgt_mask, 1)
+    match = src_mask & (d2[:, 0] < r2)
+    fit = jnp.where(match, d2[:, 0], 0.0).sum() / jnp.maximum(jnp.sum(match), 1)
+    return RegistrationResult(q=q, t=t, fitness=fit, n_corr=n, iterations=it, H=H)
+
+
 def build_ndt_voxelmap(
     pts: jax.Array, mask: jax.Array, resolution: float, cap: int,
     min_eig_ratio: float = 0.01, probes: int = 16,

@@ -62,21 +62,86 @@ def compact_fleet(states: SlamState) -> SlamState:
     return states.replace(mapping=jax.vmap(one)(states.mapping))
 
 
-def compact_fleet_if_needed(states: SlamState, fcompact=None) -> SlamState:
-    """Host-gated compaction: fetch the tiny per-robot kf_count vector and
-    dispatch ``compact_fleet`` only when some robot is actually within
-    COMPACT_MARGIN of capacity.  The unconditional call moves the whole
-    keyframe store (hundreds of MB at B=128) through a where-select every
-    cadence; this costs one small device->host sync instead, which is ~10x
-    cheaper when stores are cold (bench-measured).  ``fcompact`` lets the
-    caller pass a pre-jitted compact_fleet."""
+@functools.partial(jax.jit, static_argnums=1)
+def _near_capacity(kf_count: jax.Array, K: int) -> jax.Array:
+    """Fleet-compaction predicate as a DEDICATED tiny output buffer.
+
+    Fetching a leaf of the big step-output tuple drags the whole tuple
+    through the device->host transfer path (seconds per fetch on
+    remote-attached TPUs); routing the predicate through its own jitted
+    program makes the fetched buffer one bool (~30 ms round-trip on the
+    tunnel, microseconds on a local PCIe host)."""
     from ..models.mapping import COMPACT_MARGIN
 
-    counts = np.asarray(states.mapping.kf_count)
+    return jnp.any(kf_count >= K - COMPACT_MARGIN)
+
+
+def compact_fleet_if_needed(states: SlamState, fcompact=None) -> SlamState:
+    """Host-gated compaction (synchronous): evaluate the near-capacity
+    predicate on device and dispatch ``compact_fleet`` only when some robot
+    is actually within COMPACT_MARGIN of capacity.  The unconditional call
+    moves the whole keyframe store (hundreds of MB at B=128) through a
+    where-select every cadence; the gate costs one tiny device->host sync
+    instead.  ``fcompact`` lets the caller pass a pre-jitted compact_fleet.
+    Timed loops should prefer :class:`CompactGate`, which pipelines the
+    fetch so even that round-trip is off the dispatch path."""
     K = states.mapping.kf_q.shape[-2]          # [..., K, 4]
-    if (counts >= K - COMPACT_MARGIN).any():
+    if bool(np.asarray(_near_capacity(states.mapping.kf_count, K))):
         return (fcompact or compact_fleet)(states)
     return states
+
+
+class CompactGate:
+    """Asynchronously host-gated fleet compaction.
+
+    The synchronous gate pays one device->host round-trip per check —
+    ~30 ms through a remote-attached TPU, which can triple the cost of a
+    dispatch window whose useful work is a few ms.  This gate pipelines it:
+    each ``check`` dispatches the tiny `_near_capacity` predicate, starts an
+    async copy of the result, and acts on the value fetched by the PREVIOUS
+    check, which has had a full stride of dispatch work to arrive — so the
+    steady-state cost is enqueue overhead only.
+
+    The decision is therefore one gate-stride stale.  Callers must size
+    their check cadence so staleness + cadence still beat the keyframe
+    freeze backstop: with checks every ``stride`` scans and chunked
+    dispatch of C scans, the worst-case lag from a robot crossing the
+    compaction threshold to the compaction dispatch is
+    ``2*(stride + C - 1)`` scans, and at most one keyframe is added per
+    scan, so ``stride <= COMPACT_MARGIN // 2 - C + 1`` keeps every robot
+    under capacity (see models/mapping.COMPACT_MARGIN).
+
+    ``prime`` performs one synchronous fetch outside any timed window: the
+    first device->host transfer of a process can pay a large one-time
+    transfer-path setup cost on tunneled devices.
+    """
+
+    def __init__(self, fcompact=None):
+        self._fcompact = fcompact
+        self._pending = None
+
+    @staticmethod
+    def stride(chunk: int = 1) -> int:
+        from ..models.mapping import COMPACT_MARGIN
+
+        return max(COMPACT_MARGIN // 2 - chunk + 1, 1)
+
+    def prime(self, states: SlamState) -> None:
+        K = states.mapping.kf_q.shape[-2]
+        np.asarray(_near_capacity(states.mapping.kf_count, K))
+        self._pending = None
+
+    def check(self, states: SlamState) -> SlamState:
+        if self._pending is not None and bool(np.asarray(self._pending)):
+            states = (self._fcompact or compact_fleet)(states)
+        K = states.mapping.kf_q.shape[-2]
+        flag = _near_capacity(states.mapping.kf_count, K)
+        try:
+            flag.copy_to_host_async()
+        except Exception:  # pragma: no cover - backends without async copy
+            pass
+        self._pending = flag
+        return states
 
 
 def fleet_loop_init(cfg: SlamConfig, n_robots: int):

@@ -186,12 +186,13 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, inline_compaction=False)
         B = args.fleet
         C = max(args.chunk, 1)
-        if C > COMPACT_MARGIN:
-            # same bound as SlamSystem(chunk=...): eviction runs between
-            # dispatches, so a chunk must fit in the capacity headroom
+        if C > COMPACT_MARGIN // 2:
+            # eviction runs between dispatches and the async compaction gate
+            # acts one check late, so worst-case lag is 2*(stride + C - 1)
+            # scans — a chunk must fit in half the capacity headroom
             raise SystemExit(
                 f"--chunk {C} with --fleet exceeds the keyframe-eviction "
-                f"headroom (COMPACT_MARGIN={COMPACT_MARGIN})"
+                f"headroom (COMPACT_MARGIN // 2 = {COMPACT_MARGIN // 2})"
             )
         states = fleet.fleet_init(cfg, B)
         fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
@@ -208,6 +209,13 @@ def main(argv=None):
             )
         else:
             fcompact = jax.jit(fleet.compact_fleet)
+            # async host gate: the near-capacity fetch is pipelined one
+            # stride ahead so no device->host round-trip sits on the
+            # dispatch path (see fleet.CompactGate staleness contract)
+            gate = fleet.CompactGate(fcompact)
+            # pay the one-time device->host transfer-path setup before the
+            # replay clock starts (large on tunneled devices)
+            gate.prime(states)
         if C > 1:
             # chunked dispatch (bench.py's 3-5x lever) for the fleet too
             from .models.slam import make_chunk_step
@@ -216,6 +224,9 @@ def main(argv=None):
                 functools.partial(fleet.fleet_step, cfg=cfg), C
             )
         metrics = Metrics()
+        # summarize fitness into two dedicated scalars: np.asarray on a leaf
+        # of the big step output would drag the whole tuple device->host
+        _fit_summary = jax.jit(lambda f: (jnp.median(f), jnp.max(f)))
         n = 0
         outs = None
         buf = []
@@ -231,10 +242,11 @@ def main(argv=None):
             )
             return (b[0], b[1], stamps)
 
-        # eviction stride: consecutive compaction calls must stay within
-        # COMPACT_MARGIN scans even when a chunk delays the boundary by up
-        # to C-1 scans (ADVICE r2) — stride + C - 1 < COMPACT_MARGIN
-        comp_stride = max(COMPACT_MARGIN - C, 1)
+        # eviction stride: the async gate's decision is one check stale, so
+        # worst-case lag from threshold-crossing to compaction dispatch is
+        # 2*(stride + C - 1) scans; CompactGate.stride keeps that within
+        # COMPACT_MARGIN even with chunked dispatch (ADVICE r2 + async gate)
+        comp_stride = fleet.CompactGate.stride(C)
         lc = cfg.loop_cadence
 
         def maybe_housekeep(n_before, n_after):
@@ -246,16 +258,18 @@ def main(argv=None):
                 # (host-gated on the tiny kf_count fetch)
                 if (n_after // lc == n_before // lc
                         and n_after // comp_stride != n_before // comp_stride):
-                    from .models.mapping import COMPACT_MARGIN as _CM
-
-                    counts = np.asarray(states.mapping.kf_count)
+                    # dedicated tiny predicate buffer: fetching a leaf of the
+                    # big state tuple would drag the whole tuple through the
+                    # device->host path (seconds on remote-attached TPUs)
                     K_cap = states.mapping.kf_q.shape[-2]
-                    if (counts >= K_cap - _CM).any():
+                    if bool(np.asarray(
+                            fleet._near_capacity(states.mapping.kf_count, K_cap))):
                         states, loop_states = fcompact_loop(states, loop_states)
             elif n_after // comp_stride != n_before // comp_stride:
-                # host-gated: tiny kf_count fetch; the full store shuffle
-                # only dispatches when a robot is actually near capacity
-                states = fleet.compact_fleet_if_needed(states, fcompact)
+                # async host gate: acts on the previous check's fetch, so
+                # the full store shuffle only dispatches when a robot is
+                # near capacity and no round-trip blocks the replay loop
+                states = gate.check(states)
 
         for item in feed:
             buf.append(batch(item))
@@ -271,9 +285,9 @@ def main(argv=None):
             n += len(buf)
             buf = []
             if n % 50 < C:
-                fit = np.asarray(outs.fitness)
-                print(f"  scan {n}: fleet fitness med={np.median(fit):.4f} "
-                      f"max={fit.max():.4f}")
+                med, mx = _fit_summary(outs.fitness)
+                print(f"  scan {n}: fleet fitness med={float(med):.4f} "
+                      f"max={float(mx):.4f}")
         for triple in buf:                       # trailing partial chunk
             states, outs = fstep(states, *triple)
             maybe_housekeep(n, n + 1)

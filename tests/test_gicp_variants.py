@@ -58,6 +58,40 @@ def test_ndt_register(cloud_pair):
     assert dot > 0.9999
 
 
+def test_gicp_mp_register(cloud_pair):
+    """G5 FastGICPMultiPoints: radius-fused multi-correspondence GICP recovers
+    the transform (experimental/fast_gicp_mp_impl.hpp — dead code in the
+    reference, rebuilt for API completeness)."""
+    src, tgt, q_gt, t_gt = cloud_pair
+    n = src.shape[0]
+    res = jax.jit(
+        lambda s, t: gicp.gicp_mp_register(
+            s, jnp.ones(n, bool), t, jnp.ones(n, bool),
+            m3.quat_identity(), jnp.zeros(3), CFG,
+        )
+    )(jnp.asarray(src), jnp.asarray(tgt))
+    assert np.abs(np.asarray(res.t) - t_gt).max() < 0.03
+    dot = abs(float(jnp.sum(res.q * jnp.asarray(q_gt))))
+    assert dot > 0.9999, f"rotation mismatch, |<q,q_gt>|={dot}"
+    assert int(res.n_corr) > n // 2
+
+
+def test_gicp_mp_empty_overlap(cloud_pair):
+    """No target neighbors within the radius -> solver must stay put (the
+    reference skips empty-correspondence points; with all points empty the
+    normal equations are damped-singular and delta ~ 0)."""
+    src, tgt, _, _ = cloud_pair
+    n = src.shape[0]
+    far = jnp.asarray(tgt) + 100.0
+    res = gicp.gicp_mp_register(
+        jnp.asarray(src), jnp.ones(n, bool), far, jnp.ones(n, bool),
+        m3.quat_identity(), jnp.zeros(3), CFG, max_iters=4,
+    )
+    assert int(res.n_corr) == 0
+    assert np.all(np.isfinite(np.asarray(res.t)))
+    assert np.abs(np.asarray(res.t)).max() < 1e-3
+
+
 def test_knn_covariances_plane(rng):
     pts = jnp.asarray(
         np.stack([rng.uniform(0, 5, 500), rng.uniform(0, 5, 500),

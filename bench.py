@@ -152,7 +152,7 @@ def _stage_inputs(cfg: SlamConfig, B: int, n_scans: int):
     return inputs, seqs[0]
 
 
-def _single_stream(seq, n_scans: int):
+def _single_stream(seq, n_scans: int, serialized: bool = False):
     """B=1 latency on the full-size config (ms/scan)."""
     from rgc_slam_tpu.models.slam import SlamState, slam_step
 
@@ -173,6 +173,8 @@ def _single_stream(seq, n_scans: int):
         t0 = time.perf_counter()
         for k in range(N_WARMUP, n_scans):
             state, _ = step(state, *ins[k])
+            if serialized:
+                jax.block_until_ready(state)
         jax.block_until_ready(state)
         times.append((time.perf_counter() - t0) / (n_scans - N_WARMUP))
     return statistics.median(times) * 1e3
@@ -190,50 +192,60 @@ def main():
 
     _note("inputs staged; compiling fleet step")
     states = fleet.fleet_init(cfg, B)
-    fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
-    fcompact = jax.jit(fleet.compact_fleet)
-    # async host-gated eviction matching run.py --fleet (included in the
-    # timed window).  CompactGate pipelines the near-capacity fetch so the
-    # device->host round-trip (~30 ms on the tunnel) is off the dispatch
-    # path; the stride contract absorbs the one-stride staleness.
-    gate = fleet.CompactGate(fcompact)
+    # keyframe eviction is folded into the step program as a device-resident
+    # top-level lax.cond (fleet.fleet_step_compacting) — matching run.py
+    # --fleet: zero host round-trips, compaction the scan a robot needs it
+    fstep = jax.jit(functools.partial(fleet.fleet_step_compacting, cfg=cfg))
     flops_step = _flops_per_call(fstep.lower(states, *inputs[0]).compile())
-    comp_stride = fleet.CompactGate.stride(1)
-    comp_stride_chunk = fleet.CompactGate.stride(max(CHUNK, 1))
     _note("fleet step compiled")
 
     if CHUNK > 1:
         from rgc_slam_tpu.models.slam import make_chunk_step
 
-        cstep = make_chunk_step(functools.partial(fleet.fleet_step, cfg=cfg), CHUNK)
+        cstep = make_chunk_step(
+            functools.partial(fleet.fleet_step_compacting, cfg=cfg), CHUNK
+        )
         n_timed = (n_timed // CHUNK) * CHUNK
 
         def run_window(states):
             for k in range(N_WARMUP, N_WARMUP + n_timed, CHUNK):
                 flat = [x for j in range(CHUNK) for x in inputs[k + j]]
                 states, outs = cstep(states, *flat)
-                if (k - N_WARMUP + CHUNK) % comp_stride_chunk < CHUNK:
-                    states = gate.check(states)
+                _sync(states)
             return states
 
-    _note("warmup + chunk compile")
+    _note("warmup")
     for k in range(N_WARMUP):
         states, outs = fstep(states, *inputs[k])
-    # prime pays the one-time device->host transfer-path setup here, outside
-    # the timed windows, and seeds the async gate pipeline
-    gate.prime(states)
-    states = gate.check(states)
-    jax.block_until_ready(states)
+        jax.block_until_ready(states)
 
-    # per-dispatch (real-time loop) rate; the host-gated eviction check
-    # (tiny kf_count fetch) runs on the CLI cadence inside the window
+    # ---- transport health probe: pipelined (queued) dispatch is the honest
+    # steady-state deployment mode, but a degraded transport (tunnel retry
+    # paths) can turn a sub-ms queued dispatch into tens of seconds.  If the
+    # probe sees pathological queued latency, fall back to SERIALIZED mode
+    # (block after every dispatch): a latency-bound lower bound that always
+    # completes, flagged in the JSON as dispatch_mode=serialized. ----
+    t0 = time.perf_counter()
+    for k in range(2):
+        states, outs = fstep(states, *inputs[k])
+    jax.block_until_ready(states)
+    queued_ms = (time.perf_counter() - t0) * 1e3 / 2
+    serialized = queued_ms > 50.0
+    _note(f"probe: queued dispatch {queued_ms:.1f} ms/step -> "
+          f"{'SERIALIZED fallback' if serialized else 'pipelined'} mode")
+
+    def _sync(x):
+        if serialized:
+            jax.block_until_ready(x)
+
+    # per-dispatch (real-time loop) rate; eviction is inside the step
+    n_reps = max(2, N_REPS - 2) if serialized else N_REPS
     rates = []
-    for _ in range(N_REPS):
+    for _ in range(n_reps):
         t0 = time.perf_counter()
         for k in range(N_WARMUP, N_WARMUP + n_timed):
             states, outs = fstep(states, *inputs[k])
-            if (k - N_WARMUP + 1) % comp_stride == 0:
-                states = gate.check(states)
+            _sync(states)
         jax.block_until_ready(states)
         rates.append(n_timed * B / (time.perf_counter() - t0))
     per_dispatch = statistics.median(rates)
@@ -241,8 +253,11 @@ def main():
 
     scans_per_sec = per_dispatch
     if CHUNK > 1:
+        _note("chunk compile")
+        states = run_window(states)          # compile outside the timed reps
+        jax.block_until_ready(states)
         rates = []
-        for _ in range(N_REPS):
+        for _ in range(n_reps):
             t0 = time.perf_counter()
             states = run_window(states)
             jax.block_until_ready(states)
@@ -265,20 +280,22 @@ def main():
         jax.block_until_ready((states_l, loop_states))
         rates = []
         done = 0
-        for _ in range(N_REPS):
+        for _ in range(n_reps):
             t0 = time.perf_counter()
             for k in range(N_WARMUP, N_WARMUP + n_timed):
                 states_l, _ = fstep(states_l, *inputs[k])
+                _sync(states_l)
                 done += 1
                 if done % cfg.loop_cadence == 0:
                     states_l, loop_states, _ = floop(states_l, loop_states)
+                    _sync(states_l)
             jax.block_until_ready(states_l)
             rates.append(n_timed * B / (time.perf_counter() - t0))
         with_loops = statistics.median(rates)
         _note(f"with-loops done: {with_loops:.0f} scans/sec")
 
     _note("single-stream")
-    single_ms = None if SKIP_SINGLE else _single_stream(seq0, n_scans)
+    single_ms = None if SKIP_SINGLE else _single_stream(seq0, n_scans, serialized)
 
     dev = jax.devices()[0].device_kind
     achieved = flops_step * (scans_per_sec / B) if flops_step else None
@@ -301,6 +318,7 @@ def main():
                     round(with_loops, 2) if with_loops else None
                 ),
                 "single_stream_ms_per_scan": round(single_ms, 4) if single_ms else None,
+                "dispatch_mode": "serialized" if serialized else "pipelined",
                 "fleet_step_gflops": round(flops_step / 1e9, 3) if flops_step else None,
                 "achieved_tflops_per_sec": round(achieved / 1e12, 3) if achieved else None,
                 "mfu_pct_vs_bf16_peak": round(mfu, 3) if mfu else None,

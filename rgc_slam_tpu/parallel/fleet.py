@@ -83,65 +83,40 @@ def compact_fleet_if_needed(states: SlamState, fcompact=None) -> SlamState:
     moves the whole keyframe store (hundreds of MB at B=128) through a
     where-select every cadence; the gate costs one tiny device->host sync
     instead.  ``fcompact`` lets the caller pass a pre-jitted compact_fleet.
-    Timed loops should prefer :class:`CompactGate`, which pipelines the
-    fetch so even that round-trip is off the dispatch path."""
+    Hot loops should prefer :func:`fleet_step_compacting`, which keeps the
+    decision on device and needs no host round-trip at all."""
     K = states.mapping.kf_q.shape[-2]          # [..., K, 4]
     if bool(np.asarray(_near_capacity(states.mapping.kf_count, K))):
         return (fcompact or compact_fleet)(states)
     return states
 
 
-class CompactGate:
-    """Asynchronously host-gated fleet compaction.
+def fleet_step_compacting(states: SlamState, clouds: PointCloud,
+                          imus: ImuBatch, stamps: jax.Array,
+                          cfg: SlamConfig):
+    """fleet_step with DEVICE-RESIDENT keyframe-store compaction.
 
-    The synchronous gate pays one device->host round-trip per check —
-    ~30 ms through a remote-attached TPU, which can triple the cost of a
-    dispatch window whose useful work is a few ms.  This gate pipelines it:
-    each ``check`` dispatches the tiny `_near_capacity` predicate, starts an
-    async copy of the result, and acts on the value fetched by the PREVIOUS
-    check, which has had a full stride of dispatch work to arrive — so the
-    steady-state cost is enqueue overhead only.
+    The compaction decision is a top-level ``lax.cond`` — NOT under vmap,
+    so exactly one branch executes (the CLAUDE rule "cond only for
+    genuinely expensive rare paths" is exactly this case): when any
+    robot's store is within COMPACT_MARGIN of capacity the where-select
+    ``compact_fleet`` runs, otherwise the step pays one scalar reduction.
 
-    The decision is therefore one gate-stride stale.  Callers must size
-    their check cadence so staleness + cadence still beat the keyframe
-    freeze backstop: with checks every ``stride`` scans and chunked
-    dispatch of C scans, the worst-case lag from a robot crossing the
-    compaction threshold to the compaction dispatch is
-    ``2*(stride + C - 1)`` scans, and at most one keyframe is added per
-    scan, so ``stride <= COMPACT_MARGIN // 2 - C + 1`` keeps every robot
-    under capacity (see models/mapping.COMPACT_MARGIN).
+    This supersedes host gating for loop-less fleets: no device->host
+    fetch (every such round-trip is ms-scale on remote-attached TPUs and
+    can stall seconds through degraded transport), no extra dispatch, no
+    staleness — a robot is compacted the very scan it crosses the margin,
+    so the capacity freeze backstop is unreachable at any host cadence or
+    chunk size.  Fleets running loop closure must instead rely on
+    fleet_loop_step's loop-aware compaction (same reasoning as
+    compact_fleet's docstring)."""
+    from ..models.mapping import COMPACT_MARGIN
 
-    ``prime`` performs one synchronous fetch outside any timed window: the
-    first device->host transfer of a process can pay a large one-time
-    transfer-path setup cost on tunneled devices.
-    """
-
-    def __init__(self, fcompact=None):
-        self._fcompact = fcompact
-        self._pending = None
-
-    @staticmethod
-    def stride(chunk: int = 1) -> int:
-        from ..models.mapping import COMPACT_MARGIN
-
-        return max(COMPACT_MARGIN // 2 - chunk + 1, 1)
-
-    def prime(self, states: SlamState) -> None:
-        K = states.mapping.kf_q.shape[-2]
-        np.asarray(_near_capacity(states.mapping.kf_count, K))
-        self._pending = None
-
-    def check(self, states: SlamState) -> SlamState:
-        if self._pending is not None and bool(np.asarray(self._pending)):
-            states = (self._fcompact or compact_fleet)(states)
-        K = states.mapping.kf_q.shape[-2]
-        flag = _near_capacity(states.mapping.kf_count, K)
-        try:
-            flag.copy_to_host_async()
-        except Exception:  # pragma: no cover - backends without async copy
-            pass
-        self._pending = flag
-        return states
+    states, outs = fleet_step(states, clouds, imus, stamps, cfg)
+    K = states.mapping.kf_q.shape[-2]
+    need = jnp.any(states.mapping.kf_count >= K - COMPACT_MARGIN)
+    states = jax.lax.cond(need, compact_fleet, lambda s: s, states)
+    return states, outs
 
 
 def fleet_loop_init(cfg: SlamConfig, n_robots: int):

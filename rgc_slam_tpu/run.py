@@ -186,42 +186,38 @@ def main(argv=None):
         cfg = dataclasses.replace(cfg, inline_compaction=False)
         B = args.fleet
         C = max(args.chunk, 1)
-        if C > COMPACT_MARGIN // 2:
-            # eviction runs between dispatches and the async compaction gate
-            # acts one check late, so worst-case lag is 2*(stride + C - 1)
-            # scans — a chunk must fit in half the capacity headroom
-            raise SystemExit(
-                f"--chunk {C} with --fleet exceeds the keyframe-eviction "
-                f"headroom (COMPACT_MARGIN // 2 = {COMPACT_MARGIN // 2})"
-            )
-        states = fleet.fleet_init(cfg, B)
-        fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
         # loop closure + PGO run vmapped on the SlamSystem cadence (the
         # reference's pose-graph thread always runs when enabled,
         # RGC_mapping.cpp:303-304,1962); its compaction is loop-aware, so
         # the loop path must NOT also run fleet.compact_fleet
         run_loops = cfg.loop_closure_enable and cfg.map_update
+        if run_loops and C > COMPACT_MARGIN:
+            # loop-aware eviction runs between dispatches, so a chunk must
+            # fit in the capacity headroom (loop-less fleets compact inside
+            # the step itself and have no such bound)
+            raise SystemExit(
+                f"--chunk {C} with --fleet loop closure exceeds the "
+                f"keyframe-eviction headroom (COMPACT_MARGIN={COMPACT_MARGIN})"
+            )
+        states = fleet.fleet_init(cfg, B)
+        # loop-less fleets compact ON DEVICE inside the step (top-level
+        # lax.cond — no host round-trips, no staleness; see
+        # fleet.fleet_step_compacting); loop fleets compact loop-aware
+        step_fn = (fleet.fleet_step if run_loops
+                   else fleet.fleet_step_compacting)
+        fstep = jax.jit(functools.partial(step_fn, cfg=cfg))
         if run_loops:
             loop_states = fleet.fleet_loop_init(cfg, B)
             floop = jax.jit(functools.partial(fleet.fleet_loop_step, cfg=cfg))
             fcompact_loop = jax.jit(
                 functools.partial(fleet.fleet_loop_compact, cfg=cfg)
             )
-        else:
-            fcompact = jax.jit(fleet.compact_fleet)
-            # async host gate: the near-capacity fetch is pipelined one
-            # stride ahead so no device->host round-trip sits on the
-            # dispatch path (see fleet.CompactGate staleness contract)
-            gate = fleet.CompactGate(fcompact)
-            # pay the one-time device->host transfer-path setup before the
-            # replay clock starts (large on tunneled devices)
-            gate.prime(states)
         if C > 1:
             # chunked dispatch (bench.py's 3-5x lever) for the fleet too
             from .models.slam import make_chunk_step
 
             fchunk = make_chunk_step(
-                functools.partial(fleet.fleet_step, cfg=cfg), C
+                functools.partial(step_fn, cfg=cfg), C
             )
         metrics = Metrics()
         # summarize fitness into two dedicated scalars: np.asarray on a leaf
@@ -242,11 +238,10 @@ def main(argv=None):
             )
             return (b[0], b[1], stamps)
 
-        # eviction stride: the async gate's decision is one check stale, so
-        # worst-case lag from threshold-crossing to compaction dispatch is
-        # 2*(stride + C - 1) scans; CompactGate.stride keeps that within
-        # COMPACT_MARGIN even with chunked dispatch (ADVICE r2 + async gate)
-        comp_stride = fleet.CompactGate.stride(C)
+        # loop-path eviction stride: consecutive backstop checks must stay
+        # within COMPACT_MARGIN scans even when a chunk delays the boundary
+        # by up to C-1 scans (ADVICE r2) — stride + C - 1 < COMPACT_MARGIN
+        comp_stride = max(COMPACT_MARGIN - C, 1)
         lc = cfg.loop_cadence
 
         def maybe_housekeep(n_before, n_after):
@@ -265,11 +260,8 @@ def main(argv=None):
                     if bool(np.asarray(
                             fleet._near_capacity(states.mapping.kf_count, K_cap))):
                         states, loop_states = fcompact_loop(states, loop_states)
-            elif n_after // comp_stride != n_before // comp_stride:
-                # async host gate: acts on the previous check's fetch, so
-                # the full store shuffle only dispatches when a robot is
-                # near capacity and no round-trip blocks the replay loop
-                states = gate.check(states)
+            # loop-less fleets need no housekeeping here: compaction is
+            # folded into the step program itself (fleet_step_compacting)
 
         for item in feed:
             buf.append(batch(item))

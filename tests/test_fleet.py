@@ -111,48 +111,41 @@ def test_compact_fleet_evicts_only_at_capacity():
     )
 
 
-def test_compact_gate_async_staleness():
-    """CompactGate acts on the PREVIOUS check's fetch: a robot crossing the
-    margin is compacted by the second check after the crossing, never later
-    (the staleness bound the stride contract assumes)."""
-    import dataclasses
-    import jax.numpy as jnp
-    import numpy as np
-    from rgc_slam_tpu.config import TEST_CONFIG
+def test_fleet_step_compacting_device_gate():
+    """fleet_step_compacting compacts a near-capacity robot within the SAME
+    step (device-resident lax.cond gate) and is bit-exact with fleet_step
+    when every robot is below the margin."""
     from rgc_slam_tpu.models.mapping import COMPACT_MARGIN
     from rgc_slam_tpu.parallel import fleet as fl
 
-    cfg = dataclasses.replace(TEST_CONFIG, max_keyframes=64)
+    cfg = dataclasses.replace(CFG, max_keyframes=64, inline_compaction=False)
     K = cfg.max_keyframes
-    states = fl.fleet_init(cfg, 2)
+    (cloud, imu, stamps) = _inputs(2, n_steps=1)[0]
 
-    def with_counts(states, c0):
+    def with_counts(states, c0, c1):
         kf_t = jnp.tile(jnp.arange(K, dtype=jnp.float32)[None, :, None], (2, 1, 3))
         ms = states.mapping.replace(
-            kf_count=jnp.asarray([c0, 0], jnp.int32), kf_t=kf_t,
+            kf_count=jnp.asarray([c0, c1], jnp.int32), kf_t=kf_t,
             kf_travel=jnp.tile(jnp.arange(K, dtype=jnp.float32)[None], (2, 1)),
         )
         return states.replace(mapping=ms)
 
-    gate = fl.CompactGate()
-    gate.prime(states)
-    # below margin: two checks, no compaction
-    states = with_counts(states, K - COMPACT_MARGIN - 1)
-    states = gate.check(states)
-    states = gate.check(states)
-    assert int(np.asarray(states.mapping.kf_count)[0]) == K - COMPACT_MARGIN - 1
-    # crossing: first check records the near-capacity flag, second acts on it
-    states = with_counts(states, K - 2)
-    states = gate.check(states)
-    assert int(np.asarray(states.mapping.kf_count)[0]) == K - 2, \
-        "decision must be one check stale"
-    states = gate.check(states)
-    assert int(np.asarray(states.mapping.kf_count)[0]) < K - 2, \
-        "second check after crossing must compact"
-    # stride contract: worst-case lag fits inside the margin
-    for chunk in (1, 2, 4, 8):
-        s = fl.CompactGate.stride(chunk)
-        assert 2 * (s + chunk - 1) <= COMPACT_MARGIN
+    # below margin: identical to plain fleet_step
+    states = with_counts(fl.fleet_init(cfg, 2), K - COMPACT_MARGIN - 2, 4)
+    out_a, _ = jax.jit(functools.partial(fl.fleet_step, cfg=cfg))(
+        states, cloud, imu, stamps)
+    out_b, _ = jax.jit(functools.partial(fl.fleet_step_compacting, cfg=cfg))(
+        states, cloud, imu, stamps)
+    for a, b in zip(jax.tree.leaves(out_a), jax.tree.leaves(out_b)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # robot 0 near capacity: compacted within the same step, robot 1 not
+    states = with_counts(fl.fleet_init(cfg, 2), K - 2, 4)
+    out_c, _ = jax.jit(functools.partial(fl.fleet_step_compacting, cfg=cfg))(
+        states, cloud, imu, stamps)
+    c = np.asarray(out_c.mapping.kf_count)
+    assert c[0] < K - 2, "near-capacity robot must be compacted in-step"
+    assert c[1] <= 5, "under-margin robot must not be thinned"
 
 
 def test_compact_fleet_if_needed_gates_dispatch():

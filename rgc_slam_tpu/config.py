@@ -184,6 +184,19 @@ class SlamConfig:
     # item 4).  Must divide the point capacities; 1 = mask-only sharding.
     sp_shards: int = 1
 
+    def __post_init__(self):
+        # block-slice sp sharding drops tail points silently if a capacity
+        # is not divisible; reject at construction (fleet.fleet_shard_step
+        # falls back to stride masking instead of raising)
+        if self.sp_shards > 1:
+            for name in ("max_source_points", "max_kf_corner", "max_kf_surf"):
+                cap = getattr(self, name)
+                if cap % self.sp_shards:
+                    raise ValueError(
+                        f"sp_shards={self.sp_shards} must divide {name}={cap} "
+                        f"(block-slice sharding would drop the tail points)"
+                    )
+
     @property
     def expected_ground_ranges(self) -> Tuple[float, ...]:
         """Per-ring expected ground range for the configured sensor height.

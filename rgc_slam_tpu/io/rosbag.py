@@ -180,7 +180,9 @@ class BagReader:
 
                     try:
                         data = _lz4.decompress(data)
-                    except ValueError as e:
+                    except (ValueError, IndexError) as e:
+                        # IndexError: a malformed length-extension run can
+                        # index past the block end inside the decoder
                         print(f"[rosbag] {self.path}: corrupt lz4 chunk "
                               f"({e}); stopping replay")
                         return

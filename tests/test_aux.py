@@ -253,6 +253,21 @@ def test_expected_ground_ranges_per_sensor():
     assert len(c64.expected_ground_ranges) == c64.ground_scan_rings + 1
 
 
+def test_sp_shards_divisibility_validated():
+    """Block-slice sp sharding would silently drop tail points if a point
+    capacity is not divisible by sp_shards — constructing such a config must
+    raise (fleet.make_distributed_step falls back to stride masking instead)."""
+    import dataclasses
+    import pytest as _pytest
+    from rgc_slam_tpu.config import SlamConfig
+
+    base = SlamConfig()
+    ok = dataclasses.replace(base, sp_shards=2)        # all caps even
+    assert ok.sp_shards == 2
+    with _pytest.raises(ValueError, match="sp_shards"):
+        dataclasses.replace(base, sp_shards=3, max_source_points=4096)
+
+
 def test_viz_html(tmp_path):
     """render_html embeds the geometry and is self-contained (no externals)."""
     from rgc_slam_tpu.io.viz import render_html

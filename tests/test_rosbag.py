@@ -251,6 +251,43 @@ def test_bag_lz4_chunks(tmp_path):
     np.testing.assert_array_equal(scans[0]["ring"], ring)
 
 
+def test_lz4_malformed_length_run():
+    """A length-extension run cut off by the block end must raise a decode
+    error (IndexError from the byte reads), and the bag reader must treat it
+    like any corrupt chunk — stop replay, not crash."""
+    import struct
+    from rgc_slam_tpu.io import lz4
+
+    frame = (
+        struct.pack("<I", lz4.FRAME_MAGIC)
+        + bytes([0x40, 0x70, 0x00])          # FLG/BD/HC
+        + struct.pack("<I", 1) + b"\xf0"     # 1-byte block: ll=15, run cut off
+        + struct.pack("<I", 0)
+    )
+    with pytest.raises((ValueError, IndexError)):
+        lz4.decompress(frame)
+
+
+def test_bag_corrupt_lz4_chunk_stops_cleanly(tmp_path):
+    """Corruption inside an lz4 chunk payload stops replay gracefully (the
+    reader catches ValueError AND IndexError from the decoder)."""
+    path = str(tmp_path / "c.bag")
+    rng2 = np.random.default_rng(9)
+    _write_bag(path, rng2, compression="lz4")
+    raw = bytearray(open(path, "rb").read())
+    # find the lz4 frame magic of the first chunk and trash the bytes after it
+    import struct
+    from rgc_slam_tpu.io import lz4 as _lz4
+
+    pos = raw.find(struct.pack("<I", _lz4.FRAME_MAGIC))
+    assert pos > 0
+    raw[pos + 7: pos + 15] = b"\xf0" * 8
+    bad = str(tmp_path / "bad.bag")
+    open(bad, "wb").write(bytes(raw))
+    scans = list(rb.scan_stream(bad))       # must not raise
+    assert len(scans) < 4
+
+
 def test_bag_truncated_tail(tmp_path):
     """A crashed recorder leaves a half-written trailing record; replay must
     yield everything before it and stop cleanly (like rosbag play)."""

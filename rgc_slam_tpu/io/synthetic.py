@@ -36,23 +36,58 @@ class World:
 
 
 def corridor_world(length: float = 60.0, width: float = 6.0,
-                   stripe_period: float = 1.5, stripe_amp: float = 120.0) -> World:
+                   stripe_period: float = 1.5, stripe_amp: float = 120.0,
+                   pillar_spacing: float | None = None,
+                   alcove_spacing: float | None = None) -> World:
     """A long featureless corridor: geometrically degenerate along its axis,
-    with intensity stripes on the walls (BASELINE config 3 analog)."""
+    with intensity stripes on the walls (BASELINE config 3 analog).
+
+    ``pillar_spacing`` adds thin wall-hugging cylinders every that many
+    meters (staggered between the two walls) — door-frame/radiator clutter.
+    ``alcove_spacing`` adds shallow wall-mounted boxes (cabinets/doorway
+    recesses) every that many meters, staggered: their faces PERPENDICULAR
+    to the corridor axis are what actually constrains along-axis motion
+    for a distribution-matcher.  A distant END WALL does not: beyond
+    ~voxel/ring-spacing range (~28 m for a VLP-16 at 1 m voxels) a wall
+    subtends less than one ring per voxel, the voxel covariance collapses
+    to a horizontal LINE, and PLANE regularization leaves the along-axis
+    direction free — VGICP slides; thin cylinders degenerate the same way
+    (vertical lines).  Without clutter a long corridor is effectively
+    unobservable along its axis (any scan matcher dead-reckons there, the
+    reference included)."""
     wall_t = 0.3
-    boxes = np.array(
-        [
-            [-length / 2, -width / 2 - wall_t, 0.0, length / 2, -width / 2, 3.0],
-            [-length / 2, width / 2, 0.0, length / 2, width / 2 + wall_t, 3.0],
-            [length / 2, -width / 2 - wall_t, 0.0, length / 2 + wall_t, width / 2 + wall_t, 3.0],
-            [-length / 2 - wall_t, -width / 2 - wall_t, 0.0, -length / 2, width / 2 + wall_t, 3.0],
-        ]
-    )
+    boxes = [
+        [-length / 2, -width / 2 - wall_t, 0.0, length / 2, -width / 2, 3.0],
+        [-length / 2, width / 2, 0.0, length / 2, width / 2 + wall_t, 3.0],
+        [length / 2, -width / 2 - wall_t, 0.0, length / 2 + wall_t, width / 2 + wall_t, 3.0],
+        [-length / 2 - wall_t, -width / 2 - wall_t, 0.0, -length / 2, width / 2 + wall_t, 3.0],
+    ]
+    box_albedo = [60.0, 60.0, 60.0, 60.0]
+    if alcove_spacing:
+        x = -length / 2 + alcove_spacing / 2
+        side = 1.0
+        while x < length / 2 - 2.0:
+            y_wall = side * width / 2
+            y_in = y_wall - side * 0.45          # juts 0.45 m into the corridor
+            boxes.append([x - 0.6, min(y_wall, y_in), 0.0,
+                          x + 0.6, max(y_wall, y_in), 2.2])
+            box_albedo.append(150.0)
+            side = -side
+            x += alcove_spacing
+    cylinders, cyl_albedo = [], []
+    if pillar_spacing:
+        x = -length / 2 + pillar_spacing / 2
+        side = 1.0
+        while x < length / 2 - 1.0:
+            cylinders.append([x, side * (width / 2 - 0.45), 0.15, 2.2])
+            cyl_albedo.append(185.0)
+            side = -side
+            x += pillar_spacing
     return World(
-        boxes=boxes,
-        box_albedo=np.array([60.0, 60.0, 60.0, 60.0]),
-        cylinders=np.zeros((0, 4)),
-        cyl_albedo=np.zeros((0,)),
+        boxes=np.asarray(boxes, np.float64),
+        box_albedo=np.asarray(box_albedo, np.float64),
+        cylinders=np.asarray(cylinders, np.float64).reshape(-1, 4),
+        cyl_albedo=np.asarray(cyl_albedo, np.float64),
         stripe_period=stripe_period,
         stripe_amp=stripe_amp,
     )

@@ -253,6 +253,29 @@ def test_expected_ground_ranges_per_sensor():
     assert len(c64.expected_ground_ranges) == c64.ground_scan_rings + 1
 
 
+def test_corridor_world_clutter_options():
+    """corridor_world grows staggered alcoves/pillars that rays actually hit
+    (the eval config-3 observability clutter)."""
+    from rgc_slam_tpu.io import synthetic
+
+    blank = synthetic.corridor_world(length=70.0, width=8.0)
+    w = synthetic.corridor_world(length=70.0, width=8.0,
+                                 alcove_spacing=24.0, pillar_spacing=24.0)
+    assert w.boxes.shape[0] > blank.boxes.shape[0] == 4
+    assert w.cylinders.shape[0] >= 2 and blank.cylinders.shape[0] == 0
+    # alcoves stagger between the two walls
+    ys = w.boxes[4:, 1] + w.boxes[4:, 4]
+    assert (ys > 0).any() and (ys < 0).any()
+    sc = synthetic.cast_scan(w, np.eye(3), np.array([-12.0, 0.0, 0.56]),
+                             n_rings=16, n_azimuth=360,
+                             rng=np.random.default_rng(0), noise=0.0)
+    sb = synthetic.cast_scan(blank, np.eye(3), np.array([-12.0, 0.0, 0.56]),
+                             n_rings=16, n_azimuth=360,
+                             rng=np.random.default_rng(0), noise=0.0)
+    # clutter occludes wall points -> the cluttered scan differs from blank
+    assert not np.allclose(sc["xyz"], sb["xyz"])
+
+
 def test_sp_shards_divisibility_validated():
     """Block-slice sp sharding would silently drop tail points if a point
     capacity is not divisible by sp_shards — constructing such a config must

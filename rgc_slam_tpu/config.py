@@ -183,6 +183,14 @@ class SlamConfig:
     # mapping kNN association + 12-dim GN both shard this way (VERDICT r2
     # item 4).  Must divide the point capacities; 1 = mask-only sharding.
     sp_shards: int = 1
+    # per-point covariance regularization — the full fast_gicp
+    # RegularizationMethod set (gicp_settings.hpp,
+    # impl/fast_gicp_impl.hpp:365-398): "plane" (the reference default:
+    # eigenvalues -> 1e-3,1,1) | "min_eig" | "norm_min_eig" | "frobenius" |
+    # "none".  Keep "plane" unless measured otherwise: modes that preserve
+    # line-shaped Gaussians ring-lock on ground scan lines
+    # (ops/covariance.norm_min_eig_regularize's docstring)
+    cov_regularization: str = "plane"
 
     def __post_init__(self):
         # block-slice sp sharding drops tail points silently if a capacity

@@ -25,7 +25,7 @@ from ..types import VoxelMap
 from ..utils import math3d as m3
 from . import knn as knn_ops
 from . import voxelhash as vh
-from .covariance import plane_regularize
+from .covariance import plane_regularize, regularize_covariances
 from .registration import (
     Correspondences,
     RegistrationResult,
@@ -36,10 +36,12 @@ from .registration import (
 )
 
 
-def knn_covariances(pts: jax.Array, mask: jax.Array, k: int = 20) -> jax.Array:
-    """Per-point plane-regularized covariance from k nearest neighbors —
+def knn_covariances(pts: jax.Array, mask: jax.Array, k: int = 20,
+                    method: str = "plane") -> jax.Array:
+    """Per-point regularized covariance from k nearest neighbors —
     ``FastGICP::calculate_covariances`` (impl/fast_gicp_impl.hpp:341-400) with
-    the kd-tree replaced by the batched MXU knn."""
+    the kd-tree replaced by the batched MXU knn; ``method`` selects the
+    RegularizationMethod ("plane" reference default | "norm_min_eig")."""
     d2, idx = knn_ops.knn(pts, pts, mask, k)
     near = pts[idx]                                    # [N, k, 3]
     ok = mask[idx] & jnp.isfinite(d2)
@@ -48,7 +50,9 @@ def knn_covariances(pts: jax.Array, mask: jax.Array, k: int = 20) -> jax.Array:
     mean = jnp.sum(near * w[..., None], axis=1) / wsum[:, None]
     d = (near - mean[:, None, :]) * w[..., None]
     cov = jnp.einsum("nki,nkj->nij", d, d) / wsum[:, None, None]
-    return plane_regularize(cov + 1e-6 * jnp.eye(3, dtype=pts.dtype))
+    return regularize_covariances(
+        cov + 1e-6 * jnp.eye(3, dtype=pts.dtype), method
+    )
 
 
 def _gicp_correspondences(

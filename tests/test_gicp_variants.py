@@ -92,6 +92,38 @@ def test_gicp_mp_empty_overlap(cloud_pair):
     assert np.abs(np.asarray(res.t)).max() < 1e-3
 
 
+def test_cov_regularization_modes(rng):
+    """The full fast_gicp RegularizationMethod set (gicp_settings.hpp):
+    eigenvalue semantics of each mode on a line-shaped covariance."""
+    from rgc_slam_tpu.ops import covariance as C
+
+    R = np.linalg.qr(rng.normal(size=(3, 3)))[0].astype(np.float32)
+    line = (R @ np.diag([4.0, 1e-8, 1e-8]).astype(np.float32) @ R.T)
+    cov = jnp.asarray(line)[None]
+
+    def evs(out):
+        return np.sort(np.linalg.eigvalsh(np.asarray(out[0])))
+
+    np.testing.assert_allclose(
+        evs(C.regularize_covariances(cov, "plane")), [1e-3, 1.0, 1.0], rtol=0.05)
+    np.testing.assert_allclose(
+        evs(C.regularize_covariances(cov, "min_eig")), [1e-3, 1e-3, 4.0], rtol=0.05)
+    np.testing.assert_allclose(
+        evs(C.regularize_covariances(cov, "norm_min_eig")), [1e-3, 1e-3, 1.0],
+        rtol=0.05)
+    fro = evs(C.regularize_covariances(cov, "frobenius"))
+    assert fro[0] > 0 and np.isfinite(fro).all()
+    np.testing.assert_allclose(
+        np.asarray(C.regularize_covariances(cov, "none")), line[None], rtol=1e-6)
+    with pytest.raises(ValueError):
+        C.regularize_covariances(cov, "bogus")
+    # all modes keep the dominant eigenvector
+    for m in ("plane", "min_eig", "norm_min_eig"):
+        out = np.asarray(C.regularize_covariances(cov, m)[0])
+        w, V = np.linalg.eigh(out)
+        assert abs(np.dot(V[:, -1], R[:, 0])) > 0.999
+
+
 def test_knn_covariances_plane(rng):
     pts = jnp.asarray(
         np.stack([rng.uniform(0, 5, 500), rng.uniform(0, 5, 500),

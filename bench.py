@@ -82,6 +82,9 @@ N_TIMED = int(os.environ.get("RGC_BENCH_TIMED", 40))
 N_REPS = int(os.environ.get("RGC_BENCH_REPS", 5))
 SKIP_SINGLE = os.environ.get("RGC_BENCH_SKIP_SINGLE", "") == "1"
 SKIP_LOOPS = os.environ.get("RGC_BENCH_SKIP_LOOPS", "") == "1"
+# force the degraded-transport fallback (block after every dispatch) — for
+# testing the fallback path without a degraded tunnel
+FORCE_SERIALIZED = os.environ.get("RGC_BENCH_SERIALIZED", "") == "1"
 # dispatch chunking: run C consecutive scans inside one jit call (unrolled)
 # — C dispatches become 1, amortizing the tunnel/runtime per-call overhead
 # (measured 5.3x on the tunneled v5e: 128k -> 677k scans/sec/chip).  A real
@@ -230,7 +233,7 @@ def main():
         states, outs = fstep(states, *inputs[k])
     jax.block_until_ready(states)
     queued_ms = (time.perf_counter() - t0) * 1e3 / 2
-    serialized = queued_ms > 50.0
+    serialized = FORCE_SERIALIZED or queued_ms > 50.0
     _note(f"probe: queued dispatch {queued_ms:.1f} ms/step -> "
           f"{'SERIALIZED fallback' if serialized else 'pipelined'} mode")
 

@@ -67,7 +67,10 @@ def test_voxel_downsample_invalid_excluded(rng):
 
 
 def test_gaussian_voxelmap_stats(rng):
-    pts_np = rng.normal(0, 0.1, (200, 3)) + np.array([2.5, 2.5, 0.5])
+    # voxel v spans [(v+0.5)*res, (v+1.5)*res) under the GaussianVoxelMap
+    # half-shifted binning (fast_vgicp_voxel.hpp:158-162) — center the
+    # cluster at voxel 0's center (5,5,5) so all points share one voxel
+    pts_np = rng.normal(0, 0.1, (200, 3)) + np.array([5.0, 5.0, 5.0])
     pts = jnp.asarray(pts_np, jnp.float32)
     covs = jnp.broadcast_to(jnp.eye(3) * 0.01, (200, 3, 3)).astype(jnp.float32)
     vm = vh.build_gaussian_voxelmap(pts, covs, jnp.ones(200, bool), 5.0, cap=256)
@@ -78,7 +81,7 @@ def test_gaussian_voxelmap_stats(rng):
     np.testing.assert_allclose(np.asarray(vm.cov[i]), np.eye(3) * 0.01, atol=1e-6)
     assert vm.num_points[i] == 200
     # lookup a point inside the voxel
-    slot = vh.voxelmap_lookup(vm, jnp.array([[2.0, 2.0, 0.1]], jnp.float32))
+    slot = vh.voxelmap_lookup(vm, jnp.array([[4.5, 5.5, 5.1]], jnp.float32))
     assert slot[0] == i
     slot2 = vh.voxelmap_lookup(vm, jnp.array([[100.0, 0.0, 0.0]], jnp.float32))
     assert slot2[0] == -1

@@ -276,9 +276,14 @@ def main():
         _note("compiling loop step")
         states_l = fleet.fleet_init(cfg, B)
         loop_states = fleet.fleet_loop_init(cfg, B)
+        # loop fleets must NOT use fleet_step_compacting: compact_fleet
+        # relabels keyframe slots without remapping the loop store — the
+        # loop-aware compaction inside fleet_loop_step handles eviction
+        # here, exactly like run.py --fleet with loops enabled
+        fstep_l = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
         floop = jax.jit(functools.partial(fleet.fleet_loop_step, cfg=cfg))
         for k in range(N_WARMUP):
-            states_l, _ = fstep(states_l, *inputs[k])
+            states_l, _ = fstep_l(states_l, *inputs[k])
         states_l, loop_states, _ = floop(states_l, loop_states)
         jax.block_until_ready((states_l, loop_states))
         rates = []
@@ -286,7 +291,7 @@ def main():
         for _ in range(n_reps):
             t0 = time.perf_counter()
             for k in range(N_WARMUP, N_WARMUP + n_timed):
-                states_l, _ = fstep(states_l, *inputs[k])
+                states_l, _ = fstep_l(states_l, *inputs[k])
                 _sync(states_l)
                 done += 1
                 if done % cfg.loop_cadence == 0:

@@ -113,7 +113,11 @@ def main():
     only = set(args.only.split(",")) if args.only else None
 
     def want(key: str) -> bool:
-        return only is None or any(key.startswith(p) for p in only)
+        # match both directions so the short gate keys ("1", "3",
+        # "5_fleet") accept full config keys like "3_degraded_corridor"
+        return only is None or any(
+            key.startswith(p) or p.startswith(key) for p in only
+        )
 
     results = {}
     if only:
@@ -335,7 +339,10 @@ def main():
     for name in ("1_full_pipeline_no_loop", "1p_preint_imu_cov",
                  "2_full_slam_loop", "3_degraded_corridor",
                  "4_synth64_lidar_only"):
-        r = results[name]
+        r = results.get(name)
+        if r is None:          # --only rerun over a stale results file
+            lines.append(f"| {name} | — | — | — | — | — | — |")
+            continue
         lines.append(
             f"| {name} | {r['n_scans']} | {r['path_m']} | {r['ate_map_m']} | "
             f"{r['ate_odom_m']} | {r['rpe_map_m']} | {r['n_loops']} |"

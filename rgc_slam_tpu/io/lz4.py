@@ -88,6 +88,8 @@ def decompress(data: bytes) -> bytes:
             if bsize in (FRAME_MAGIC, LEGACY_MAGIC):
                 break      # concatenated next frame
             pos += 4
+            if pos + bsize > len(data):
+                raise ValueError("lz4: truncated legacy block")
             _decode_block(data[pos:pos + bsize], out)
             pos += bsize
         return bytes(out)
@@ -158,7 +160,13 @@ def _encode_block_naive(raw: bytes) -> bytes:
 
 
 def compress_frame(raw: bytes, stored: bool = False, block_size: int = 65536) -> bytes:
-    """Tests-only: wrap `raw` into a spec-valid LZ4 frame (no entropy win)."""
+    """Wrap `raw` into a spec-valid LZ4 frame (no entropy win).
+
+    Blocks are capped so the emitted block (literals + token + length
+    extension) never exceeds the declared 64 KB BD — standard decoders
+    validate block size against BD and would reject the frame otherwise."""
+    # worst-case all-literal overhead: 1 token + ceil(len/255)+1 extension
+    block_size = min(block_size, 65536 - 300)
     out = bytearray()
     out += struct.pack("<I", FRAME_MAGIC)
     out.append(0x40)       # FLG: version 01, linked blocks, no checksums

@@ -251,6 +251,41 @@ def test_bag_lz4_chunks(tmp_path):
     np.testing.assert_array_equal(scans[0]["ring"], ring)
 
 
+def test_lz4_frame_blocks_fit_declared_bd():
+    """compress_frame declares a 64 KB BD; every emitted block (including
+    the all-literal encoding overhead) must fit it, or standard decoders
+    reject the frame (BagWriter uses this for whole chunk payloads)."""
+    import struct
+    from rgc_slam_tpu.io import lz4
+
+    raw = bytes(range(256)) * 1024              # 256 KB, incompressible-ish
+    frame = lz4.compress_frame(raw)
+    assert lz4.decompress(frame) == raw
+    pos = 7                                     # magic + FLG/BD/HC
+    while True:
+        (word,) = struct.unpack_from("<I", frame, pos)
+        pos += 4
+        if word == 0:
+            break
+        bsize = word & 0x7FFFFFFF
+        assert bsize <= 65536, f"block {bsize} exceeds the declared 64 KB BD"
+        pos += bsize
+
+
+def test_lz4_legacy_truncated_block_raises():
+    """A legacy frame cut mid-block must raise, not silently return a
+    shortened payload (the corrupt-chunk policy of the module docstring)."""
+    import struct
+    from rgc_slam_tpu.io import lz4
+
+    raw = b"hello corridor" * 100
+    blk = lz4._encode_block_naive(raw)
+    legacy = struct.pack("<I", lz4.LEGACY_MAGIC) + struct.pack("<I", len(blk)) + blk
+    assert lz4.decompress(legacy) == raw
+    with pytest.raises(ValueError, match="truncated legacy"):
+        lz4.decompress(legacy[: len(legacy) // 2])
+
+
 def test_lz4_malformed_length_run():
     """A length-extension run cut off by the block end must raise a decode
     error (IndexError from the byte reads), and the bag reader must treat it

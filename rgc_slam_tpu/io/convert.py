@@ -67,13 +67,42 @@ def ring_from_vertical_angle(xyz: np.ndarray, n_scans: int):
 
 
 def rel_time_from_azimuth(xyz: np.ndarray) -> np.ndarray:
-    """Per-point sweep fraction from the horizontal angle (the reference's
-    startOri/endOri bookkeeping, scanRegistration.cpp:115-207), assuming one
-    full clockwise revolution."""
+    """Per-point sweep fraction from the horizontal angle — the reference's
+    startOri/endOri bookkeeping (scanRegistration.cpp:115-207) vectorized.
+
+    Real sweeps are not exactly one revolution: endOri comes from the LAST
+    point (+2π, clamped into (π, 3π] of startOri), and each point's angle
+    is unwrapped by the halfPassed two-branch state machine.  The machine
+    flips exactly once — at the first point whose branch-1-corrected angle
+    exceeds startOri + π — so it vectorizes into a trigger-index split
+    (the trigger point itself still uses its branch-1 angle, matching the
+    C++ flag update order).  relTime can leave [0, 1] by design
+    (cpp comment: −0.5 < relTime < 1.5); deskew consumes it as-is.
+    Verified against the exact sequential transliteration
+    (utils/parity.reference_rel_time, tests/test_parity_oracles.py)."""
     ori = -np.arctan2(xyz[:, 1], xyz[:, 0])
-    start = ori[0]
-    rel = (ori - start) % (2 * np.pi) / (2 * np.pi)
-    return rel.astype(np.float32)
+    start = float(ori[0])
+    end = float(-np.arctan2(xyz[-1, 1], xyz[-1, 0])) + 2 * np.pi
+    if end - start > 3 * np.pi:
+        end -= 2 * np.pi
+    elif end - start < np.pi:
+        end += 2 * np.pi
+    o1 = (
+        ori
+        + 2 * np.pi * (ori < start - np.pi / 2)
+        - 2 * np.pi * (ori > start + 1.5 * np.pi)
+    )
+    passed = o1 - start > np.pi
+    t = int(np.argmax(passed)) if passed.any() else len(ori)
+    o2 = ori + 2 * np.pi
+    o2 = (
+        o2
+        + 2 * np.pi * (o2 < end - 1.5 * np.pi)
+        - 2 * np.pi * (o2 > end + np.pi / 2)
+    )
+    out = o1.copy()
+    out[t + 1:] = o2[t + 1:]
+    return ((out - start) / (end - start)).astype(np.float32)
 
 
 def cloud_from_scan_dict(scan: dict, cfg: SlamConfig) -> PointCloud:

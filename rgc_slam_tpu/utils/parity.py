@@ -588,3 +588,44 @@ def reference_pgo_solve(
             break
 
     return {"yaw": np.array([_norm_angle(y / rad2deg) for y in yawv]), "t": tv}
+
+
+# ---------------------------------------------------------------------------
+# (f) azimuth -> relative sweep time (scanRegistration.cpp:115-207)
+# ---------------------------------------------------------------------------
+
+
+def reference_rel_time(xyz: np.ndarray, dtype=np.float64) -> np.ndarray:
+    """Exact sequential transliteration of the projection loop's relTime:
+    startOri/endOri with the (pi, 3pi] clamp (cpp:117-127) and the
+    halfPassed two-branch angle unwrapping (cpp:186-207).  Quirks kept: the
+    trigger point itself keeps its branch-1 angle (the flag is set AFTER
+    the current ori is final), and relTime may leave [0, 1]
+    (cpp:206 comment: -0.5 < relTime < 1.5)."""
+    n = xyz.shape[0]
+    start_ori = dtype(-np.arctan2(xyz[0, 1], xyz[0, 0]))
+    end_ori = dtype(-np.arctan2(xyz[n - 1, 1], xyz[n - 1, 0])) + 2 * np.pi
+    if end_ori - start_ori > 3 * np.pi:
+        end_ori -= 2 * np.pi
+    elif end_ori - start_ori < np.pi:
+        end_ori += 2 * np.pi
+
+    half_passed = False
+    rel = np.empty(n, dtype)
+    for i in range(n):
+        ori = dtype(-np.arctan2(xyz[i, 1], xyz[i, 0]))
+        if not half_passed:
+            if ori < start_ori - np.pi / 2:
+                ori += 2 * np.pi
+            elif ori > start_ori + np.pi * 3 / 2:
+                ori -= 2 * np.pi
+            if ori - start_ori > np.pi:
+                half_passed = True
+        else:
+            ori += 2 * np.pi
+            if ori < end_ori - np.pi * 3 / 2:
+                ori += 2 * np.pi
+            elif ori > end_ori + np.pi / 2:
+                ori -= 2 * np.pi
+        rel[i] = (ori - start_ori) / (end_ori - start_ori)
+    return rel

@@ -356,3 +356,39 @@ def test_pgo_solve_parity():
     assert moved > 0.05
     assert dt < 5e-3, dt
     assert dyaw < 5e-4, dyaw
+
+
+# ---------------------------------------------------------------------------
+# (f) azimuth -> relative sweep time (scanRegistration.cpp:115-207)
+# ---------------------------------------------------------------------------
+
+
+def _sweep_xyz(n, revs, start_deg, rng):
+    """Clockwise sweep of `revs` revolutions starting at `start_deg`, with
+    jitter — the az ordering and over/under-revolution real sensors emit."""
+    az = np.deg2rad(start_deg) + np.linspace(0.0, revs * 2 * np.pi, n)
+    az += rng.normal(0.0, 1e-3, n)
+    r = rng.uniform(3.0, 40.0, n)
+    # reference angle convention: ori = -atan2(y, x) increases along the sweep
+    x = r * np.cos(-az)
+    y = r * np.sin(-az)
+    z = rng.uniform(-1.0, 2.0, n)
+    return np.stack([x, y, z], 1)
+
+
+def test_rel_time_matches_reference_machine(rng):
+    """Vectorized rel_time_from_azimuth must reproduce the sequential
+    halfPassed machine exactly — including over/under-revolution sweeps and
+    arbitrary start angles (scanRegistration.cpp:115-207)."""
+    from rgc_slam_tpu.io.convert import rel_time_from_azimuth
+    from rgc_slam_tpu.utils.parity import reference_rel_time
+
+    for revs in (1.0, 0.97, 1.05):
+        for start in (0.0, 37.0, 181.0, 270.0):
+            xyz = _sweep_xyz(720, revs, start, rng)
+            got = rel_time_from_azimuth(xyz)
+            want = reference_rel_time(xyz)
+            np.testing.assert_allclose(got, want, atol=2e-5), (revs, start)
+            # endpoints: first point at 0, last at ~1 by construction
+            assert abs(got[0]) < 1e-6
+            assert abs(got[-1] - 1.0) < 0.15

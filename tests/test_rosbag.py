@@ -79,7 +79,12 @@ def test_bag_channel_fallbacks(tmp_path):
     s = scans[0]
     assert len(s["xyz"]) > 0                       # out-of-fov points culled
     assert s["ring"].min() >= 0 and s["ring"].max() < 16
-    assert (s["rel_time"] >= 0).all() and (s["rel_time"] < 1.0001).all()
+    # reference relTime is only bounded by (-0.5, 1.5) (the cpp:206 comment):
+    # this fixture's points are not sweep-ordered, so the halfPassed
+    # unwrapping legitimately leaves [0, 1] — exactly what the C++ produces
+    # on the same unordered input (rel_time_from_azimuth is oracle-exact,
+    # tests/test_parity_oracles.py)
+    assert (s["rel_time"] > -0.5).all() and (s["rel_time"] < 1.5).all()
 
 
 def test_bag_header_indexed(tmp_path):

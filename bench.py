@@ -32,6 +32,7 @@ import functools
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -39,6 +40,62 @@ import time
 def _note(msg: str) -> None:
     """Progress marker on stderr (stdout stays the single JSON line)."""
     print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit_error(kind: str, detail: str, **extra) -> None:
+    """Terminal failure -> ONE parseable JSON line on stdout, rc=0.
+
+    The round-3 capture died with rc=1 and a raw stack trace because the TPU
+    tunnel backend failed to initialize mid-setup; the driver artifact was
+    unparseable.  Whatever happens, stdout must carry exactly one JSON line."""
+    print(json.dumps({
+        "metric": "registered scans/sec/chip",
+        "value": None,
+        "unit": "scans/sec",
+        "vs_baseline": None,
+        "error": kind,
+        "detail": detail[-600:],
+        **extra,
+    }))
+    sys.exit(0)
+
+
+def _probe_backend(attempts: int = 3, backoff_s: float = 60.0,
+                   probe_timeout_s: float = 180.0) -> None:
+    """Bounded backend-availability probe BEFORE any in-process device op.
+
+    The observed failure modes of the tunnel backend are (a) immediate
+    RuntimeError('Unable to initialize backend') and (b) an init that HANGS
+    for minutes — so the probe runs in a subprocess with a hard timeout (a
+    hung in-process init cannot be interrupted, and jax caches a failed
+    backend for the life of the process, which would defeat in-process
+    retries).  3 attempts, 60 s backoff; terminal failure emits the
+    backend_unavailable JSON line instead of a stack trace."""
+    if os.environ.get("RGC_BENCH_SKIP_PROBE", "") == "1":
+        return
+    code = ("import jax; d = jax.devices()[0]; "
+            "import jax.numpy as jnp; "
+            "jax.block_until_ready(jax.device_put(jnp.zeros(8))); "
+            "print(d.device_kind)")
+    last = ""
+    for attempt in range(1, attempts + 1):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=probe_timeout_s,
+            )
+            if r.returncode == 0:
+                _note(f"backend probe ok (attempt {attempt}): "
+                      f"{r.stdout.strip()}")
+                return
+            tail = (r.stderr or "").strip().splitlines()
+            last = tail[-1] if tail else f"rc={r.returncode}"
+        except subprocess.TimeoutExpired:
+            last = f"backend init hung > {probe_timeout_s:.0f} s"
+        _note(f"backend probe attempt {attempt}/{attempts} failed: {last}")
+        if attempt < attempts:
+            time.sleep(backoff_s)
+    _emit_error("backend_unavailable", last, probe_attempts=attempts)
 
 import jax
 import jax.numpy as jnp
@@ -186,6 +243,7 @@ def _single_stream(seq, n_scans: int, serialized: bool = False):
 def main():
     from rgc_slam_tpu.parallel import fleet
 
+    _probe_backend()
     cfg = FLEET_CONFIG
     B = FLEET_B
     _note(f"staging inputs (B={B})")
@@ -337,4 +395,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except KeyboardInterrupt:
+        raise
+    except Exception as e:  # noqa: BLE001 — stdout must stay one JSON line
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        _emit_error("bench_failed", f"{type(e).__name__}: {e}")

@@ -105,41 +105,64 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument(
         "--only", type=str, default=None,
-        help="comma-separated config-key prefixes to rerun; the other "
-             "configs are loaded from the existing eval_results.json",
+        help="comma-separated config gates to rerun (1, 1p, 2, 3, 4, "
+             "5_fleet, 5b — or a full result key); the other configs are "
+             "loaded from the existing eval_results.json",
     )
     args = ap.parse_args()
     q = args.quick
     only = set(args.only.split(",")) if args.only else None
 
-    def want(key: str) -> bool:
-        # match both directions so the short gate keys ("1", "3",
-        # "5_fleet") accept full config keys like "3_degraded_corridor"
-        return only is None or any(
-            key.startswith(p) or p.startswith(key) for p in only
-        )
+    # gate -> the result keys that gate produces.  Matching is EXACT (gate
+    # name or full result key) — prefix matching over-selected ("--only 1"
+    # also reran 1p; "--only 5" matched both fleet configs).
+    GATES = {
+        "1": ["1_full_pipeline_no_loop"],
+        "1p": ["1p_preint_imu_cov"],
+        "2": ["2_full_slam_loop"],
+        "3": ["3_degraded_corridor"],
+        "4": ["4_synth64_lidar_only"],
+        "5_fleet": ["5_fleet_64"],
+        "5b": ["5b_fleet_full_slam_distinct"],
+    }
+    known_keys = {k for keys in GATES.values() for k in keys}
+    if only:
+        unknown = only - set(GATES) - known_keys
+        if unknown:
+            ap.error(f"--only: unknown config gate(s) {sorted(unknown)}; "
+                     f"valid gates: {sorted(GATES)}")
+
+    def want(gate: str) -> bool:
+        if only is None:
+            return True
+        return gate in only or any(k in only for k in GATES[gate])
 
     results = {}
     if only:
         try:
-            results = json.load(open("eval_results.json"))
+            stale = json.load(open("eval_results.json"))
+            # keep only keys that still exist in the config set, so
+            # renamed/removed configs don't accumulate as dead entries
+            results = {k: v for k, v in stale.items() if k in known_keys}
         except FileNotFoundError:
             pass
 
     # ---- config 1: full pipeline minus loop closure (16-ch + IMU + ground);
     # ate_map_m is the mapping headline, ate_odom_m the raw odometry ----
-    if want("1"):
+    if want("1") or want("1p"):
         seq1 = synthetic.generate_sequence(
             n_scans=60 if q else 400, n_azimuth=900, seed=21, extent=30.0,
             radius=12.0, noise=0.01, closes_loop=False, speed=2.0,
         )
         cfg1 = dataclasses.replace(BASE, loop_closure_enable=False)
-        results["1_full_pipeline_no_loop"] = run_sequence(cfg1, seq1)
+        if want("1"):
+            results["1_full_pipeline_no_loop"] = run_sequence(cfg1, seq1)
 
         # ---- config 1p: same, with the preintegration-covariance IMU
         # weight (cfg.imu_cov_mode="preint") — VERDICT r1 item 9 ----
-        cfg1p = dataclasses.replace(cfg1, imu_cov_mode="preint")
-        results["1p_preint_imu_cov"] = run_sequence(cfg1p, seq1)
+        if want("1p"):
+            cfg1p = dataclasses.replace(cfg1, imu_cov_mode="preint")
+            results["1p_preint_imu_cov"] = run_sequence(cfg1p, seq1)
 
     # ---- config 2: full SLAM with ground + loop closure (closed course);
     # loop cadence = the PRODUCT cadence (cfg.loop_cadence, the reference's

@@ -377,6 +377,16 @@ def odometry_step(
         q_w = m3.quat_normalize(m3.quat_mul(qg, q_w))
         t_w = m3.quat_rotate(qg, t_w)
         g_init = m3.quat_rotate(qg, g_init)
+        # q_w_delta / hist_q are WORLD-ATTITUDE snapshots consumed by the
+        # ground-change machine (q_w_curr_f = conj(q_w_delta) ∘ q_w above);
+        # left-multiplying both by qg keeps that relative rotation invariant
+        # while expressing the snapshots in the aligned frame, so a large
+        # initial tilt does not leave stale pre-alignment attitudes in the
+        # history for later re-anchoring.
+        q_w_delta = m3.quat_normalize(m3.quat_mul(qg, q_w_delta))
+        hist_q = jax.vmap(
+            lambda q: m3.quat_normalize(m3.quat_mul(qg, q))
+        )(hist_q)
         state = state.replace(
             sub_xyz=jnp.einsum("ij,snj->sni", Rg, state.sub_xyz),
             sub_cov=jnp.einsum("ij,snjk,lk->snil", Rg, state.sub_cov, Rg),

@@ -71,8 +71,23 @@ def organize(cloud: PointCloud, cfg: SlamConfig) -> tuple[PointCloud, jax.Array,
 
 
 def _shift(x: jax.Array, o: int) -> jax.Array:
-    """x[i+o] with zero padding (window validity is masked separately)."""
-    return jnp.roll(x, -o, axis=0)
+    """x[i+o] with TRUE zero padding at the flat-array ends.
+
+    The C++ window loops bound every neighbor access with 0 <= j < n
+    (scanRegistration.cpp:333-348); a wrapping roll would instead read
+    values from the opposite end of the flat array.  Within rings the
+    boundary is handled by the interior/validity masks, but the flood
+    window in _fit_ground reads shifted seeds/ranges directly, so the pad
+    must be zero (seed=False, gate=0 -> never a hit) to match the oracle's
+    explicit bounds check for any ground_scan_rings configuration."""
+    if o == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    if o > 0:
+        pad[0] = (0, o)
+        return jnp.pad(x, pad)[o:]
+    pad[0] = (-o, 0)
+    return jnp.pad(x, pad)[:o]
 
 
 # ---------------------------------------------------------------------------
@@ -269,10 +284,21 @@ def extract_features(cloud: PointCloud, cfg: SlamConfig, debug: bool = False):
     flat = _compact(xyz, org.rel_time, distance_source, flat_picked, cfg.max_flat_total)
     intenf = _compact(xyz, org.rel_time, other_source, inten_picked, cfg.max_inten_total)
 
-    # ---- per-point covariances for VGICP (scan-local PCA; see ops/covariance) ----
-    from .covariance import scan_covariances
+    # ---- per-point covariances for VGICP: "scan" = ring-window PCA (the
+    # kd-tree kNN analog, default) | "rbf" = Gaussian-kernel moments (G8,
+    # covariance_estimation_rbf.cu via GPU_RBF_KERNEL) — both feed the same
+    # regularizer set (cfg.cov_regularization) ----
+    if cfg.cov_estimation == "rbf":
+        from .covariance import rbf_covariances
 
-    covs = scan_covariances(xyz, mask, ring, pos_in_ring, count_of_ring, cfg)
+        covs = rbf_covariances(
+            xyz, mask, cfg.rbf_kernel_width, cfg.rbf_kernel_max_dist,
+            cfg.cov_regularization,
+        )
+    else:
+        from .covariance import scan_covariances
+
+        covs = scan_covariances(xyz, mask, ring, pos_in_ring, count_of_ring, cfg)
 
     fx = FeatureExtraction(
         full=org,

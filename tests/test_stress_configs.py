@@ -133,7 +133,9 @@ def test_corridor_full_slam_survives():
         est.append(np.asarray(out.t_map))
     gt = np.stack([t for (_, t) in poses])
     ate = ate_rmse(np.stack(est), gt)
-    assert ate < 0.3, f"corridor full-SLAM ATE {ate:.3f}"
+    # gate = measured 0.20 + ~30% headroom so it still trips on regressions
+    # (the earlier 0.3 left too much slack — ADVICE r3)
+    assert ate < 0.26, f"corridor full-SLAM ATE {ate:.3f}"
 
 
 def test_32beam_pipeline():

@@ -191,6 +191,21 @@ class SlamConfig:
     # line-shaped Gaussians ring-lock on ground scan lines
     # (ops/covariance.norm_min_eig_regularize's docstring)
     cov_regularization: str = "plane"
+    # covariance-estimation mode feeding the regularizer above: "scan" =
+    # ring-window PCA (the kd-tree kNN analog, default) | "rbf" = G8
+    # Gaussian-kernel moments (covariance_estimation_rbf.cu, selected by
+    # GPU_RBF_KERNEL in fast_vgicp_cuda.hpp:21); width/max_dist defaults
+    # mirror fast_vgicp_cuda.cu:25-26
+    cov_estimation: str = "scan"
+    rbf_kernel_width: float = 0.25
+    rbf_kernel_max_dist: float = 3.0
+    # mapping-solve robust loss: "huber" = reference-exact Ceres
+    # HuberLoss(0.1) semantics (frozen-weight corrector, parity-oracle
+    # enforced) | "l1" = differentiate through the IRLS weight, i.e. an L1
+    # M-estimator — a documented deviation with harder outlier suppression
+    # (degenerate grazing-wall corridor: 0.20 m vs 0.66 m ATE, see
+    # models/mapping._huber_weight)
+    mapping_loss: str = "huber"
 
     def __post_init__(self):
         # block-slice sp sharding drops tail points silently if a capacity

@@ -160,62 +160,74 @@ class BagReader:
                 return
             if rec is None:
                 return
-            header, data = rec
-            op = header.get(b"op", b"\x00")[0]
-            if op == OP_CONN:
-                self._handle_conn(header, data)
-            elif op == OP_CHUNK:
-                comp = header.get(b"compression", b"none").decode()
-                if comp == "bz2":
-                    try:
-                        data = bz2.decompress(data)
-                    except (OSError, ValueError, EOFError):
-                        print(f"[rosbag] {self.path}: corrupt bz2 chunk; "
-                              "stopping replay")
-                        return
-                elif comp == "lz4":
-                    # the default chunk compression of many recorders — pure
-                    # Python frame/block decoder (io/lz4.py)
-                    from . import lz4 as _lz4
+            try:
+                yield from self._process_record(rec, topics)
+            except (struct.error, ValueError, KeyError, IndexError) as e:
+                # corrupt record body (bit rot / fuzzed bytes): corrupt
+                # compressed chunks, missing header keys, non-UTF8 topic
+                # strings (UnicodeDecodeError is a ValueError), short
+                # structs — stop replay gracefully, never leak the raw
+                # exception (seeded fuzz sweep: test_rosbag.py)
+                msg = str(e) or type(e).__name__
+                print(f"[rosbag] {self.path}: corrupt record ({msg}); "
+                      "stopping replay")
+                return
 
-                    try:
-                        data = _lz4.decompress(data)
-                    except (ValueError, IndexError) as e:
-                        # IndexError: a malformed length-extension run can
-                        # index past the block end inside the decoder
-                        print(f"[rosbag] {self.path}: corrupt lz4 chunk "
-                              f"({e}); stopping replay")
-                        return
-                elif comp != "none":
-                    raise IOError(
-                        f"{self.path}: unsupported chunk compression "
-                        f"{comp!r} (supported: none, bz2, lz4)"
-                    )
-                sub = _io.BytesIO(data)
-                while True:
-                    r = _read_record(sub)
-                    if r is None:
-                        break
-                    h2, d2 = r
-                    op2 = h2.get(b"op", b"\x00")[0]
-                    if op2 == OP_CONN:
-                        self._handle_conn(h2, d2)
-                    elif op2 == OP_MSG:
-                        conn_id = struct.unpack("<I", h2[b"conn"])[0]
-                        s, ns = struct.unpack("<II", h2[b"time"])
-                        conn = self.connections.get(conn_id)
-                        if conn is None:
-                            continue
-                        if topics is None or conn.topic in topics:
-                            yield conn.topic, s + ns * 1e-9, d2, conn
-            elif op == OP_MSG:
-                # unchunked message (rare; some tools write them top-level)
-                conn_id = struct.unpack("<I", header[b"conn"])[0]
-                s, ns = struct.unpack("<II", header[b"time"])
-                conn = self.connections.get(conn_id)
-                if conn is not None and (topics is None or conn.topic in topics):
-                    yield conn.topic, s + ns * 1e-9, data, conn
-            # OP_BAGHDR / OP_INDEX / OP_CHUNKINFO: skipped (scan is sequential)
+    def _process_record(self, rec, topics):
+        """Yield the messages of one top-level record; raises ValueError
+        (and friends) on corruption — read_messages turns that into a
+        graceful stop."""
+        import io as _io
+
+        header, data = rec
+        op = header.get(b"op", b"\x00")[0]
+        if op == OP_CONN:
+            self._handle_conn(header, data)
+        elif op == OP_CHUNK:
+            comp = header.get(b"compression", b"none").decode()
+            if comp == "bz2":
+                try:
+                    data = bz2.decompress(data)
+                except (OSError, EOFError) as e:
+                    raise ValueError(f"corrupt bz2 chunk ({e})")
+            elif comp == "lz4":
+                # the default chunk compression of many recorders — pure
+                # Python frame/block decoder (io/lz4.py); ValueError and
+                # IndexError (malformed length-extension runs) propagate to
+                # read_messages' graceful stop
+                from . import lz4 as _lz4
+
+                data = _lz4.decompress(data)
+            elif comp != "none":
+                raise IOError(
+                    f"{self.path}: unsupported chunk compression "
+                    f"{comp!r} (supported: none, bz2, lz4)"
+                )
+            sub = _io.BytesIO(data)
+            while True:
+                r = _read_record(sub)
+                if r is None:
+                    break
+                h2, d2 = r
+                op2 = h2.get(b"op", b"\x00")[0]
+                if op2 == OP_CONN:
+                    self._handle_conn(h2, d2)
+                elif op2 == OP_MSG:
+                    conn_id = struct.unpack("<I", h2[b"conn"])[0]
+                    s, ns = struct.unpack("<II", h2[b"time"])
+                    conn = self.connections.get(conn_id)
+                    if conn is None:
+                        continue
+                    if topics is None or conn.topic in topics:
+                        yield conn.topic, s + ns * 1e-9, d2, conn
+        elif op == OP_MSG:
+            # unchunked message (rare; some tools write them top-level)
+            conn_id = struct.unpack("<I", header[b"conn"])[0]
+            s, ns = struct.unpack("<II", header[b"time"])
+            conn = self.connections.get(conn_id)
+            if conn is not None and (topics is None or conn.topic in topics):
+                yield conn.topic, s + ns * 1e-9, data, conn
+        # OP_BAGHDR / OP_INDEX / OP_CHUNKINFO: skipped (scan is sequential)
 
 
 # ---------------------------------------------------------------------------

@@ -91,8 +91,19 @@ def icp_point2point(
     tgt: jax.Array, tgt_mask: jax.Array,
     max_corr: jax.Array, iterations: int,
 ):
-    """Iterated 1-NN + weighted Kabsch.  Returns (q, t, fitness, n_matched)
-    with (q, t) mapping src into tgt's frame."""
+    """Iterated 1-NN + weighted Kabsch — the pcl::IterativeClosestPoint
+    pipeline the reference aligns loop submaps with (RGC_mapping.cpp:
+    2050-2081: max-correspondence gate, TransformationEstimationSVD /
+    Umeyama, RANSAC off).  Fixed iteration count replaces PCL's
+    DefaultConvergenceCriteria early-exit: ICP is a fixed-point iteration,
+    so extra iterations past convergence leave the pose at the fixed point
+    (parity checked by the loop-ICP oracle, utils/parity.py).
+
+    Returns (q, t, fitness, n_matched) with (q, t) mapping src into tgt's
+    frame.  fitness follows pcl::Registration::getFitnessScore() exactly:
+    the mean squared NN distance over ALL valid source points (max_range
+    defaults to +inf there — unmatched points count too), which is what the
+    reference compares against historyKeyframeFitnessScore."""
     dtype = src.dtype
 
     def body(_, carry):
@@ -123,7 +134,8 @@ def icp_point2point(
     d2, _ = knn_ops.knn(sp, tgt, tgt_mask, 1)
     match = src_mask & (d2[:, 0] < max_corr * max_corr)
     n = jnp.sum(match)
-    fitness = jnp.sum(jnp.where(match, d2[:, 0], 0.0)) / jnp.maximum(n, 1)
+    n_valid = jnp.sum(src_mask)
+    fitness = jnp.sum(jnp.where(src_mask, d2[:, 0], 0.0)) / jnp.maximum(n_valid, 1)
     return q, t, fitness, n
 
 

@@ -140,6 +140,62 @@ def regularize_covariances(cov: jax.Array, method: str) -> jax.Array:
     raise ValueError(f"unknown cov_regularization {method!r}")
 
 
+def rbf_covariances(
+    xyz: jax.Array,
+    mask: jax.Array,
+    kernel_width: float = 0.25,
+    max_dist: float = 3.0,
+    method: str = "plane",
+    row_chunk: int = 2048,
+) -> jax.Array:
+    """G8: RBF-kernel covariance estimation (covariance_estimation_rbf.cu:
+    1-153; selected by FastVGICPCuda's GPU_RBF_KERNEL neighbor search,
+    fast_vgicp_cuda.hpp:21) — per-point Gaussian-weighted moments over ALL
+    cloud points within ``max_dist``: w = exp(-kernel_width·d²) (the .cu uses
+    the raw kernel_width as the exponent factor; defaults 0.25 / 3.0 from
+    fast_vgicp_cuda.cu:25-26), mean = Σwx/Σw, cov = Σw·xxᵀ/Σw − mean·meanᵀ.
+
+    TPU formulation: pairwise d² via the Gram identity (one [chunk,N]
+    matmul), weights as a dense gated matrix, and every moment as ONE
+    matmul W @ [1 | x | xxᵀ-flat] — all MXU work, lax.map'd over row chunks
+    to bound the [chunk, N] working set.  Deviation (documented): moments
+    accumulate around the cloud centroid instead of raw sensor coordinates —
+    mathematically identical (covariance is translation-invariant), but the
+    reference's one-pass E[xx]−mmᵀ at |x|≈40 m cancels ~1e-4 absolute in
+    f32; centering removes that (the repo-wide two-pass rule, CLAUDE.md).
+    """
+    n = xyz.shape[0]
+    dtype = xyz.dtype
+    m = mask.astype(dtype)
+    centroid = jnp.sum(xyz * m[:, None], axis=0) / jnp.maximum(jnp.sum(m), 1.0)
+    x = (xyz - centroid) * m[:, None]
+    sq = jnp.sum(x * x, axis=-1)
+    xx = jnp.einsum("ni,nj->nij", x, x).reshape(n, 9)
+    feats = jnp.concatenate([jnp.ones((n, 1), dtype), x, xx], axis=1)  # [N,13]
+    max_d2 = jnp.asarray(max_dist * max_dist, dtype)
+    kw = jnp.asarray(kernel_width, dtype)
+
+    pad = (-n) % row_chunk
+    xq = jnp.pad(x, ((0, pad), (0, 0))).reshape(-1, row_chunk, 3)
+    sqq = jnp.pad(sq, (0, pad)).reshape(-1, row_chunk)
+
+    def chunk_moments(args):
+        xc, sc = args
+        d2 = sc[:, None] + sq[None, :] - 2.0 * (xc @ x.T)
+        w = jnp.where(
+            (d2 <= max_d2) & mask[None, :], jnp.exp(-kw * d2), 0.0
+        ).astype(dtype)
+        return w @ feats                                  # [chunk, 13]
+
+    moments = jax.lax.map(chunk_moments, (xq, sqq)).reshape(-1, 13)[:n]
+    sw = jnp.maximum(moments[:, 0], 1e-12)
+    mean = moments[:, 1:4] / sw[:, None]
+    E = moments[:, 4:].reshape(n, 3, 3) / sw[:, None, None]
+    cov = E - jnp.einsum("ni,nj->nij", mean, mean)
+    cov = jnp.where(mask[:, None, None], cov, jnp.eye(3, dtype=dtype))
+    return regularize_covariances(cov + 1e-6 * jnp.eye(3, dtype=dtype), method)
+
+
 def scan_covariances(
     xyz: jax.Array,
     mask: jax.Array,

@@ -235,6 +235,97 @@ def gauss_newton(
     return jax.lax.fori_loop(0, iterations, body, jnp.zeros(dim))
 
 
+def huber_rho(s: jax.Array, delta: float = 0.1) -> jax.Array:
+    """Ceres HuberLoss rho(s) on squared block norms s: s inside, 2δ√s − δ²
+    outside.  Used by the trust-region accept test, which compares TRUE
+    robust costs (0.5 Σ rho(s)) — not the IRLS-weighted residual squares
+    (Σ rho'(s)·s), which differ for outliers."""
+    d2 = delta * delta
+    return jnp.where(s <= d2, s, 2.0 * delta * jnp.sqrt(jnp.maximum(s, 1e-30)) - d2)
+
+
+def ceres_lm(
+    residual_fn: Callable[[jax.Array], jax.Array],
+    cost_fn: Callable[[jax.Array], jax.Array],
+    dim: int,
+    iterations: int,
+    project=None,
+    psum_axis=None,
+    radius0: float = 1e4,
+    min_relative_decrease: float = 1e-3,
+):
+    """Ceres trust-region LM over a tangent-parameterized residual stack —
+    the solver the reference's mapping problem actually runs
+    (RGC_mapping.cpp:1340-1347: DENSE_QR, max_num_iterations=6, otherwise
+    Solver::Options defaults; trust_region_minimizer.cc +
+    levenberg_marquardt_strategy.cc semantics):
+
+      * augmentation D = clamp(diag(JᵀJ), 1e-6, 1e32) / radius, radius₀=1e4
+      * accept iff model_cost_change > 0 AND
+        (cost − new_cost)/model_cost_change > 1e-3
+      * accept: radius /= max(1/3, 1−(2ρ−1)³), decrease factor resets to 2
+      * reject: radius /= decrease_factor, decrease_factor *= 2 — the pose
+        does NOT move (this is what plain GN lacks: on outlier-bent steps GN
+        walks the pose away while Ceres stands still and re-damps)
+
+    ``residual_fn`` returns the CORRECTED (loss-weighted) residuals used for
+    H/g; ``cost_fn`` returns the TRUE robust cost 0.5·Σ rho(s) used by the
+    accept test (they differ for Huber outliers).  Both see sharded rows
+    under ``psum_axis``; H/g/cost/model-change partials are all-reduced.
+    Runs a FIXED ``iterations`` count (rejected steps consume an iteration,
+    as in Ceres).  Returns the final tangent step x*.
+    """
+    def total_cost(x):
+        c = cost_fn(x)
+        if psum_axis is not None:
+            c = jax.lax.psum(c, psum_axis)
+        return c
+
+    def body(_, carry):
+        x, radius, dec = carry
+        r = residual_fn(x)
+        J = jax.jacfwd(residual_fn)(x)
+        H = J.T @ J
+        g = J.T @ r
+        if psum_axis is not None:
+            H = jax.lax.psum(H, psum_axis)
+            g = jax.lax.psum(g, psum_axis)
+        cost = total_cost(x)
+        D = jnp.clip(jnp.diag(H), 1e-6, 1e32) / radius
+        Hd = H + jnp.diag(D)
+        # diagonal equilibration before the f32 solve (see gauss_newton)
+        s = jax.lax.rsqrt(jnp.maximum(jnp.diag(Hd), 1e-12))
+        Hs = Hd * s[:, None] * s[None, :] + 1e-6 * jnp.eye(dim, dtype=r.dtype)
+        step = s * jnp.linalg.solve(Hs, -(s * g))
+        if project is not None:
+            step = project @ step
+        model_res = J @ step
+        mcc = -jnp.dot(model_res, r + model_res / 2.0)
+        if psum_axis is not None:
+            mcc = jax.lax.psum(mcc, psum_axis)
+        new_cost = total_cost(x + step)
+        rel_decrease = (cost - new_cost) / jnp.where(mcc == 0, 1e-30, mcc)
+        accept = (
+            (mcc > 0)
+            & (rel_decrease > min_relative_decrease)
+            & jnp.all(jnp.isfinite(step))
+        )
+        x = jnp.where(accept, x + step, x)
+        grow = jnp.maximum(
+            1.0 / 3.0, 1.0 - (2.0 * rel_decrease - 1.0) ** 3
+        )
+        radius = jnp.where(accept, radius / grow, radius / dec)
+        radius = jnp.clip(radius, 1e-32, 1e16)
+        dec = jnp.where(accept, 2.0, dec * 2.0)
+        return x, radius, dec
+
+    x, _, _ = jax.lax.fori_loop(
+        0, iterations, body,
+        (jnp.zeros(dim), jnp.asarray(radius0), jnp.asarray(2.0)),
+    )
+    return x
+
+
 def degeneracy_projection(
     residual_fn: Callable[[jax.Array], jax.Array],
     dim: int,

@@ -7,10 +7,11 @@ at runtime:
     cost (impl/fast_gicp_impl.hpp:216-313).  The reference's single-thread /
     OpenMP split (G2 vs G3) is meaningless on TPU — one vectorized program
     covers both.
-  * ``ndt_register``    — G13 ``NDTCuda`` D2D: voxel-Gaussian targets with
-    position-only covariances regularized by min-eigenvalue, point sources
-    with identity covariance (ndt/ndt_cuda.hpp, cuda/ndt_compute_derivatives.cu
-    — in-tree but unbuilt in the reference; rebuilt here TPU-native).
+  * ``ndt_register``    — G13 ``NDTCuda``, BOTH NDTDistanceMode variants
+    (ndt_settings.hpp:6): D2D voxel-Gaussians-vs-voxel-Gaussians and P2D
+    points-vs-voxel-Gaussians, with the kernels' Cauchy robustifier
+    (ndt/ndt_cuda.hpp, cuda/ndt_compute_derivatives.cu — in-tree but unbuilt
+    in the reference; rebuilt here TPU-native).
 
 Both reuse the LsqRegistration LM driver through the same frozen-correspondence
 structure as ops/registration.py.
@@ -72,8 +73,13 @@ def _gicp_correspondences(
     return Correspondences(mean_B=mean_B, Minv=Minv, w=w, valid=valid)
 
 
-def _lm_drive(corr_fn, src, q0, t0, cfg: SlamConfig, max_iters: int):
-    """Shared LM loop (G1 semantics) over any frozen-correspondence builder."""
+def _lm_drive(corr_fn, src, q0, t0, cfg: SlamConfig, max_iters: int,
+              cauchy_k=None):
+    """Shared LM loop (G1 semantics) over any frozen-correspondence builder.
+
+    ``cauchy_k`` threads the NDT kernels' pose-dependent Cauchy robustifier
+    into both the linearization and the accept-test cost (see
+    registration._robust_w)."""
     dtype = src.dtype
 
     def is_converged(dq, dt_):
@@ -93,7 +99,7 @@ def _lm_drive(corr_fn, src, q0, t0, cfg: SlamConfig, max_iters: int):
     def outer_body(s):
         q, t, lam, conv, it = s
         corr = corr_fn(q, t)
-        H, b, y0 = corr_linearize(corr, src, q, t)
+        H, b, y0 = corr_linearize(corr, src, q, t, cauchy_k=cauchy_k)
         lam0 = jnp.where(
             lam < 0, cfg.lm_init_lambda_factor * jnp.max(jnp.abs(jnp.diag(H))), lam
         )
@@ -105,7 +111,7 @@ def _lm_drive(corr_fn, src, q0, t0, cfg: SlamConfig, max_iters: int):
             dt_ = d[3:]
             q_new = m3.quat_normalize(m3.quat_mul(dq, q))
             t_new = m3.quat_rotate(dq, t) + dt_
-            yi = corr_cost(corr, src, q_new, t_new)
+            yi = corr_cost(corr, src, q_new, t_new, cauchy_k=cauchy_k)
             denom = jnp.dot(d, lam * d - b)
             rho = (y0 - yi) / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
             accept = rho > 0
@@ -144,7 +150,7 @@ def _lm_drive(corr_fn, src, q0, t0, cfg: SlamConfig, max_iters: int):
           jnp.asarray(False), jnp.asarray(0, jnp.int32))
     q, t, lam, conv, it = jax.lax.while_loop(outer_cond, outer_body, s0)
     corr = corr_fn(q, t)
-    H, b, cost = corr_linearize(corr, src, q, t)
+    H, b, cost = corr_linearize(corr, src, q, t, cauchy_k=cauchy_k)
     return q, t, cost, jnp.sum(corr.valid), it, H
 
 
@@ -324,12 +330,17 @@ def gicp_mp_register(
 
 def build_ndt_voxelmap(
     pts: jax.Array, mask: jax.Array, resolution: float, cap: int,
-    min_eig_ratio: float = 0.01, probes: int = 16,
+    min_eig_ratio: float = 0.01, probes: int = 16, min_points: int = 5,
 ) -> VoxelMap:
-    """NDT target: per-voxel mean + *positional* covariance with
-    min-eigenvalue regularization (cuda/covariance_regularization.cu MIN_EIG).
-    Binning uses the GaussianVoxelMap half-shift so ``voxelmap_lookup`` (shared
-    with the VGICP path) finds the right bins."""
+    """NDT voxelmap: per-voxel mean + *positional* covariance with
+    min-eigenvalue regularization (cuda/covariance_regularization.cu MIN_EIG;
+    built for both sides of D2D and the target of P2D,
+    ndt_cuda.cu:114-139).  Binning uses the GaussianVoxelMap half-shift so
+    ``voxelmap_lookup`` (shared with the VGICP path) finds the right bins.
+    ``min_points`` gates which voxels publish (reference: the derivative
+    kernels skip target voxels with num_points <= 6,
+    ndt_compute_derivatives.cu:60/132, while SOURCE voxels in D2D are used
+    at any count — pass 1 for the source map)."""
     coords = vh.voxel_coords(pts, resolution, offset=0.5)
     keys = vh.pack_coords(coords, mask)
     ht = vh.build_hash_table(keys, cap, probes)
@@ -353,9 +364,8 @@ def build_ndt_voxelmap(
     floor = min_eig_ratio * evals[..., 2:3]
     evals = jnp.maximum(evals, floor)
     cov = jnp.einsum("...ik,...k,...jk->...ij", evecs, evals, evecs)
-    # voxels need >= 5 points for a stable Gaussian (NDT convention);
     # empty slots get identity covs so a masked gather can never leak NaN
-    ok = counts >= 5
+    ok = counts >= min_points
     cov = jnp.where(ok[:, None, None], cov, jnp.eye(3, dtype=pts.dtype))
     return VoxelMap(
         keys=jnp.where(ok, ht.table_keys, vh.EMPTY),
@@ -373,26 +383,54 @@ def ndt_register(
     cfg: SlamConfig,
     resolution: float = 1.0,
     max_iters: int = 30,
+    distance_mode: str = "d2d",
 ) -> RegistrationResult:
-    """D2D NDT (G13): source points vs voxel Gaussians, Mahalanobis weights
-    from the voxel covariance alone (source cov = small isotropic)."""
+    """NDTCuda (G13), both NDTDistanceMode variants (ndt_settings.hpp:6,
+    ndt_cuda.cu:151-176):
+
+      * "d2d" — source VOXEL Gaussians vs target voxel Gaussians,
+        Mahalanobis (cov_B + R·cov_A·Rᵀ)⁻¹ with R frozen at the
+        linearization pose (d2d kernel, ndt_compute_derivatives.cu:105-165;
+        source voxels used at ANY count, ndt_cuda.cu:119-127).
+      * "p2d" — source POINTS vs target voxel Gaussians, cov_B⁻¹ alone
+        (p2d kernel, ndt_compute_derivatives.cu:33-103: the Biber IROS2003
+        point-to-distribution MLE distance).
+
+    Both gate target voxels at num_points > 6 and robustify with the
+    pose-dependent Cauchy weight cauchy(resolution, |err|) recomputed at
+    every evaluation (cauchy_k plumbing in the shared LM driver)."""
     vm = build_ndt_voxelmap(tgt, tgt_mask, resolution, cfg.max_voxels,
-                            probes=cfg.hash_probes)
+                            probes=cfg.hash_probes, min_points=7)
     eye = jnp.eye(3, dtype=src.dtype)
+    if distance_mode == "d2d":
+        svm = build_ndt_voxelmap(src, src_mask, resolution, cfg.max_voxels,
+                                 probes=cfg.hash_probes, min_points=1)
+        means, covs, mmask = svm.mean, svm.cov, svm.num_points > 0
+    elif distance_mode == "p2d":
+        means, covs, mmask = src, None, src_mask
+    else:
+        raise ValueError(f"unknown NDT distance_mode {distance_mode!r}")
 
     def corr_fn(q, t):
-        Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
+        Tp = m3.quat_rotate(q[None, :], means) + t[None, :]
         slots = vh.voxelmap_lookup(vm, Tp, cfg.hash_probes)
-        found = (slots >= 0) & src_mask
+        found = (slots >= 0) & mmask
         sl = jnp.clip(slots, 0, vm.mean.shape[0] - 1)
-        valid = found & (vm.num_points[sl] > 0)
-        Minv = _inv3_sym(vm.cov[sl] + 1e-3 * eye)
+        valid = found & (vm.num_points[sl] > 6)
+        if covs is None:
+            Minv = _inv3_sym(vm.cov[sl] + 1e-9 * eye)
+        else:
+            R = m3.quat_to_mat(q)
+            RCR = jnp.einsum("ij,njk,lk->nil", R, covs, R)
+            Minv = _inv3_sym(vm.cov[sl] + RCR + 1e-9 * eye)
         return Correspondences(
             mean_B=vm.mean[sl], Minv=Minv,
             w=valid.astype(src.dtype), valid=valid,
         )
 
-    q, t, cost, n, it, H = _lm_drive(corr_fn, src, q0, t0, cfg, max_iters)
+    q, t, cost, n, it, H = _lm_drive(
+        corr_fn, means, q0, t0, cfg, max_iters, cauchy_k=resolution
+    )
     return RegistrationResult(
         q=q, t=t, fitness=cost / jnp.maximum(n, 1), n_corr=n, iterations=it, H=H
     )

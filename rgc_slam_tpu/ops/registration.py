@@ -146,21 +146,32 @@ def _expand_src(src: jax.Array, corr: Correspondences) -> jax.Array:
     return src if k == 1 else jnp.repeat(src, k, axis=0)
 
 
+def _robust_w(w, err, cauchy_k):
+    """Pose-dependent Cauchy robustifier used by the NDT kernels
+    (ndt_compute_derivatives.cu:16-18: w = k²/(k² + |err|²) with k = the
+    voxel resolution, recomputed at every evaluation pose — NOT frozen with
+    the correspondences).  None = plain (VGICP/GICP) weighting."""
+    if cauchy_k is None:
+        return w
+    k2 = jnp.asarray(cauchy_k * cauchy_k, err.dtype)
+    return w * k2 / (k2 + jnp.sum(err * err, axis=-1))
+
+
 def corr_cost(corr: Correspondences, src: jax.Array, q: jax.Array, t: jax.Array,
-              psum_axis=None):
+              psum_axis=None, cauchy_k=None):
     """Cost at (q, t) with frozen correspondences (ref ``compute_error``)."""
     src = _expand_src(src, corr)
     Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
     err = corr.mean_B - Tp
     Me = jnp.einsum("nij,nj->ni", corr.Minv, err)
-    cost = jnp.sum(corr.w * jnp.sum(err * Me, axis=-1))
+    cost = jnp.sum(_robust_w(corr.w, err, cauchy_k) * jnp.sum(err * Me, axis=-1))
     if psum_axis is not None:
         cost = jax.lax.psum(cost, psum_axis)
     return cost
 
 
 def corr_linearize(corr: Correspondences, src: jax.Array, q: jax.Array, t: jax.Array,
-                   psum_axis=None):
+                   psum_axis=None, cauchy_k=None):
     """H/b at (q, t) with frozen correspondences.  J = [skew(Tp) | -I].
 
     With ``psum_axis`` the local (point-sharded) partial sums are all-reduced
@@ -170,7 +181,7 @@ def corr_linearize(corr: Correspondences, src: jax.Array, q: jax.Array, t: jax.A
     src = _expand_src(src, corr)
     Tp = m3.quat_rotate(q[None, :], src) + t[None, :]
     err = corr.mean_B - Tp
-    w, Minv = corr.w, corr.Minv
+    w, Minv = _robust_w(corr.w, err, cauchy_k), corr.Minv
     Me = jnp.einsum("nij,nj->ni", Minv, err)
     cost = jnp.sum(w * jnp.sum(err * Me, axis=-1))
     S = m3.skew(Tp)

@@ -359,6 +359,364 @@ def test_pgo_solve_parity():
 
 
 # ---------------------------------------------------------------------------
+# (g) two-pose scan-to-map solve (RGC_mapping.cpp:1076-1354)
+# ---------------------------------------------------------------------------
+
+
+def _xyzw(q_wxyz):
+    q = np.asarray(q_wxyz, np.float64)
+    return np.array([q[1], q[2], q[3], q[0]])
+
+
+def _sensor_frame(p_world, q_wxyz, t):
+    R = np.asarray(m3.quat_to_mat(jnp.asarray(q_wxyz, jnp.float32)), np.float64)
+    return (np.asarray(p_world) - np.asarray(t)) @ R
+
+
+def _mapping_fixture(seed=17):
+    """Synthetic keyframe map + two feature scans with known poses.
+
+    Structures chosen so every gate sits FAR from its boundary: vertical
+    edges (eigen ratio ~1e3 >> 3), isotropic blobs (ratio ~1 << 3), clean
+    off-origin planes (QR residual ~noise << 0.2), a bumpy patch (residual
+    >> 0.2), and far points (5th-NN >> the 1.0/2.0 m gates)."""
+    rs = np.random.RandomState(seed)
+
+    lines = []
+    for cx, cy in rs.uniform(-12, 12, (10, 2)):
+        z = np.arange(-1.0, 2.0, 0.07)
+        pts = np.stack([np.full_like(z, cx), np.full_like(z, cy), z], 1)
+        lines.append(pts + rs.normal(0, 0.004, pts.shape))
+    corner_map = np.concatenate(lines)
+    for bx, by in rs.uniform(-12, 12, (6, 2)):      # eigen-gate rejects
+        corner_map = np.concatenate(
+            [corner_map, [bx, by, 0.5] + rs.normal(0, 0.12, (30, 3))])
+
+    def plane(n_pts, span, base, axes):
+        uv = rs.uniform(-span, span, (n_pts, 2))
+        return base + uv[:, :1] * axes[0] + uv[:, 1:] * axes[1]
+
+    ex, ey, ez = np.eye(3)
+    wall_x = plane(300, 6.0, np.array([14.0, 0, 0.5]), (ey, ez))
+    wall_y = plane(300, 6.0, np.array([0, -10.0, 0.5]), (ex, ez))
+    floor = plane(400, 10.0, np.array([0, 0, -1.5]), (ex, ey))
+    bumpy = plane(150, 3.0, np.array([-8.0, 8.0, 0.5]), (ex, ez))
+    bumpy[:, 1] += 0.45 * np.sin(3.0 * bumpy[:, 0]) * np.sin(3.0 * bumpy[:, 2])
+    surf_map = np.concatenate([wall_x, wall_y, floor, bumpy])
+    surf_map += rs.normal(0, 0.004, surf_map.shape)
+
+    def scan_features(q_wxyz, t, n_c=40, n_s=80):
+        # corner points: near random line samples (line accepts) + blob
+        # samples (eigen rejects) + far points (distance-gate rejects)
+        picks = corner_map[rs.choice(len(corner_map) - 180, n_c - 12)]
+        blob_picks = corner_map[-180:][rs.choice(180, 6)]
+        far = rs.uniform(30, 40, (6, 3))
+        cpts_w = np.concatenate([picks, blob_picks, far])
+        cpts_w += rs.normal(0, 0.01, cpts_w.shape)
+        surf_picks = np.concatenate([
+            wall_x[rs.choice(len(wall_x), (n_s - 20) // 3)],
+            wall_y[rs.choice(len(wall_y), (n_s - 20) // 3)],
+            floor[rs.choice(len(floor), n_s - 20 - 2 * ((n_s - 20) // 3))],
+            bumpy[rs.choice(len(bumpy), 12)],            # fit rejects
+            rs.uniform(25, 35, (8, 3)),                  # distance rejects
+        ])
+        spts_w = surf_picks + rs.normal(0, 0.01, surf_picks.shape)
+        return (_sensor_frame(cpts_w, q_wxyz, t),
+                rs.uniform(0.6, 1.4, len(cpts_w)).astype(np.float64),
+                _sensor_frame(spts_w, q_wxyz, t),
+                rs.uniform(0.6, 1.4, len(spts_w)).astype(np.float64))
+
+    q_true = np.asarray(m3.ypr_to_quat(jnp.asarray([0.3, 0.02, -0.03])), np.float64)
+    t_true = np.array([1.0, -0.5, 0.1])
+    ql_true = np.asarray(m3.ypr_to_quat(jnp.asarray([0.27, 0.018, -0.025])), np.float64)
+    tl_true = np.array([0.8, -0.45, 0.09])
+    cur = scan_features(q_true, t_true)
+    last = scan_features(ql_true, tl_true)
+    # perturbed initial guesses (odometry drift scale)
+    dq = np.asarray(m3.ypr_to_quat(jnp.asarray([0.008, -0.005, 0.006])), np.float64)
+    q0 = np.asarray(m3.quat_mul(jnp.asarray(dq), jnp.asarray(q_true)), np.float64)
+    t0 = t_true + np.array([0.04, -0.03, 0.02])
+    dql = np.asarray(m3.ypr_to_quat(jnp.asarray([-0.004, 0.003, -0.002])), np.float64)
+    ql0 = np.asarray(m3.quat_mul(jnp.asarray(dql), jnp.asarray(ql_true)), np.float64)
+    tl0 = tl_true + np.array([-0.02, 0.015, -0.01])
+    return dict(corner_map=corner_map, surf_map=surf_map, cur=cur, last=last,
+                q0=q0, t0=t0, ql0=ql0, tl0=tl0,
+                q_true=q_true, t_true=t_true, ql_true=ql_true)
+
+
+def test_mapping_solve_parity():
+    """Stage-6 oracle (VERDICT r3 item 2): the two-pose scan-to-map solve.
+
+    Gates: line/plane accept masks EXACT, per-factor residuals at the shared
+    initial pose <=1e-3 rel, final two poses <=1e-4."""
+    from rgc_slam_tpu.models import mapping as mp
+    from rgc_slam_tpu.types import GroundPlane
+    import dataclasses
+
+    fx = _mapping_fixture()
+    cfg = dataclasses.replace(CFG, degeneracy_thresh=0.0, map_opt_iterations=2)
+    c_xyz, c_conf, s_xyz, s_conf = fx["cur"]
+    cl_xyz, cl_conf, sl_xyz, sl_conf = fx["last"]
+
+    # IMU factor inputs: measurement = the true relative rotation, attitude
+    # measurements = the true attitudes (so the factors pull toward truth);
+    # computed once in f32 so engine and oracle see the same rounded values
+    delta_q_imu = np.asarray(m3.quat_mul(
+        m3.quat_conj(jnp.asarray(fx["ql_true"], jnp.float32)),
+        jnp.asarray(fx["q_true"], jnp.float32)), np.float64)
+    imu_cov = 0.4
+    ypr_cur = np.asarray(m3.quat_to_ypr(jnp.asarray(fx["q_true"], jnp.float32)),
+                         np.float64)
+    ypr_last = np.asarray(m3.quat_to_ypr(jnp.asarray(fx["ql_true"], jnp.float32)),
+                          np.float64)
+
+    gp = lambda n, v1, v2, d: GroundPlane(
+        normal=jnp.asarray(n, jnp.float32), v1=jnp.asarray(v1, jnp.float32),
+        v2=jnp.asarray(v2, jnp.float32), distance=jnp.asarray(d, jnp.float32),
+        source=jnp.asarray(0.0, jnp.float32), valid=jnp.asarray(True))
+    # ground distances CONSISTENT with the true motion: the r0 residual
+    # (weight var/1000 = 5000) must vanish at truth or it would drag z off
+    # the geometric optimum and the solve couldn't approach t_true
+    q_hist = np.asarray(m3.ypr_to_quat(jnp.asarray([0.1, 0.0, 0.0])), np.float64)
+    t_lc_true = np.asarray(m3.quat_rotate(
+        m3.quat_conj(jnp.asarray(fx["ql_true"], jnp.float32)),
+        jnp.asarray(fx["t_true"] - np.asarray(
+            [0.8, -0.45, 0.09]), jnp.float32)), np.float64)
+    dtz = float(np.asarray(m3.quat_rotate(
+        jnp.asarray(q_hist, jnp.float32), jnp.asarray(t_lc_true, jnp.float32))
+    )[2])
+    g_last_d = 1.59
+    g_cur = gp([0, 0, 1], [1, 0, 0], [0, 1, 0], g_last_d - dtz)
+    g_last = gp([0, 0, 1], [1, 0, 0], [0, 1, 0], g_last_d)
+    q_w_last2 = np.asarray(m3.ypr_to_quat(jnp.asarray([0.24, 0.015, -0.02])),
+                           np.float64)
+    t_w_last2 = np.array([0.6, -0.4, 0.08])
+    t_lc2_true = np.asarray(m3.quat_rotate(
+        m3.quat_conj(jnp.asarray(q_w_last2, jnp.float32)),
+        jnp.asarray(np.asarray([0.8, -0.45, 0.09]) - t_w_last2, jnp.float32)),
+        np.float64)
+    dtz2 = float(np.asarray(m3.quat_rotate(
+        jnp.asarray(q_hist, jnp.float32), jnp.asarray(t_lc2_true, jnp.float32))
+    )[2])
+    g_last2 = gp([0, 0, 1], [1, 0, 0], [0, 1, 0], g_last_d + dtz2)
+
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    (q_e, t_e, ql_e, tl_e), (ne, np_e), dbg = jax.jit(functools.partial(
+        mp.scan_to_map_solve, cfg=cfg, debug=True,
+        gn_axis=None,
+    ))(
+        f32(fx["q0"]), f32(fx["t0"]), f32(fx["ql0"]), f32(fx["tl0"]),
+        f32(c_xyz), f32(c_conf), jnp.ones(len(c_xyz), bool),
+        f32(cl_xyz), f32(cl_conf), jnp.ones(len(cl_xyz), bool),
+        f32(s_xyz), f32(s_conf), jnp.ones(len(s_xyz), bool),
+        f32(sl_xyz), f32(sl_conf), jnp.ones(len(sl_xyz), bool),
+        f32(fx["corner_map"]), jnp.ones(len(fx["corner_map"]), bool),
+        f32(fx["surf_map"]), jnp.ones(len(fx["surf_map"]), bool),
+        f32(delta_q_imu), jnp.asarray(imu_cov, jnp.float32),
+        jnp.asarray(1.0, jnp.float32),
+        f32(ypr_cur), f32(ypr_last),
+        g_last, g_cur, g_last2, f32(q_w_last2), f32(t_w_last2),
+        f32(q_hist), f32(q_hist), jnp.asarray(1.0, jnp.float32),
+        jnp.asarray(1.0, jnp.float32),
+    )
+
+    gdict = lambda g: {"normal": np.asarray(g.normal, np.float64),
+                       "v1": np.asarray(g.v1, np.float64),
+                       "v2": np.asarray(g.v2, np.float64),
+                       "distance": float(g.distance)}
+    oracle = parity.reference_mapping_solve(
+        c_xyz, c_conf, s_xyz, s_conf, cl_xyz, cl_conf, sl_xyz, sl_conf,
+        fx["corner_map"], fx["surf_map"],
+        _xyzw(fx["q0"]), fx["t0"], _xyzw(fx["ql0"]), fx["tl0"],
+        delta_q_imu=_xyzw(delta_q_imu), imu_cov=imu_cov,
+        imu_pr=(ypr_cur[1], ypr_cur[2]), imu_pr_last=(ypr_last[1], ypr_last[2]),
+        grounds=(gdict(g_last), gdict(g_cur), _xyzw(q_hist),
+                 gdict(g_last2), _xyzw(q_hist), _xyzw(q_w_last2), t_w_last2),
+        outer_iters=cfg.map_opt_iterations,
+    )
+
+    ec, ecl, pc, pcl, poses = dbg
+    for outer in range(cfg.map_opt_iterations):
+        o = oracle["outer"][outer]
+        for name, corr, key in (
+            ("corner", ec, "corner_mask"), ("corner_last", ecl, "corner_last_mask"),
+            ("surf", pc, "surf_mask"), ("surf_last", pcl, "surf_last_mask"),
+        ):
+            got = np.asarray(corr.w[outer] > 0)
+            want = o[key]
+            n_diff = int((got != want).sum())
+            assert n_diff == 0, (
+                f"outer {outer} {name}: {n_diff} accept-mask mismatches "
+                f"(engine {got.sum()}, oracle {want.sum()})")
+        assert int(want.sum()) > 10   # fixture sanity: planes did accept
+
+        # per-factor residuals at the outer's shared start pose (raw, no
+        # Huber): engine geometry (pa/pb or n/d) evaluated in f64 vs oracle
+        x0 = o["x0"]
+        assoc_c, assoc_cl, assoc_s, assoc_sl = o["assoc"]
+
+        def edge_res(pt, pa, pb, var, q, t):
+            lp = parity._quat_rotate_xyzw(q, pt) + t
+            nu = np.cross(lp - pa, lp - pb)
+            return nu / np.linalg.norm(pa - pb) * var
+
+        def check_edges(corr_e, assoc_o, pts, conf, q, t, tag):
+            # family-scale-relative: |r_e - r_o|_inf / max_family |r_o|
+            # (an individual near-zero residual shouldn't blow up the ratio)
+            errs, scale = [], 0.0
+            for i, rec in enumerate(assoc_o):
+                if not rec["accept"]:
+                    continue
+                r_o = edge_res(pts[i], rec["pa"], rec["pb"], conf[i], q, t)
+                r_e = edge_res(pts[i],
+                               np.asarray(corr_e.pa[outer][i], np.float64),
+                               np.asarray(corr_e.pb[outer][i], np.float64),
+                               conf[i], q, t)
+                # the line direction's SIGN is arbitrary (Eigen vs eigh3x3
+                # both pick freely); pa/pb swap flips the residual's sign,
+                # which the squared cost never sees — compare up to sign
+                errs.append(min(np.abs(r_e - r_o).max(),
+                                np.abs(r_e + r_o).max()))
+                scale = max(scale, np.abs(r_o).max())
+            rel = max(errs) / scale
+            assert rel < 1e-3, (tag, rel)
+            return rel
+
+        def check_planes(corr_p, assoc_o, pts, conf, q, t, tag):
+            errs, scale = [], 0.0
+            for i, rec in enumerate(assoc_o):
+                if not rec["accept"]:
+                    continue
+                lp = parity._quat_rotate_xyzw(q, pts[i]) + t
+                r_o = (rec["n"] @ lp + rec["neg_oa"]) * conf[i]
+                n_e = np.asarray(corr_p.n[outer][i], np.float64)
+                d_e = float(corr_p.d[outer][i])
+                r_e = (n_e @ lp + d_e) * conf[i]
+                errs.append(abs(r_e - r_o))
+                scale = max(scale, abs(r_o))
+            rel = max(errs) / scale
+            assert rel < 1e-3, (tag, rel)
+            return rel
+
+        m1 = check_edges(ec, assoc_c, c_xyz, c_conf, x0[0], x0[1], "edge-cur")
+        m2 = check_edges(ecl, assoc_cl, cl_xyz, cl_conf, x0[2], x0[3], "edge-last")
+        m3_ = check_planes(pc, assoc_s, s_xyz, s_conf, x0[0], x0[1], "plane-cur")
+        m4 = check_planes(pcl, assoc_sl, sl_xyz, sl_conf, x0[2], x0[3], "plane-last")
+        if outer == 0:
+            print(f"\nmapping-solve residual rel-err: edge {m1:.2e}/{m2:.2e} "
+                  f"plane {m3_:.2e}/{m4:.2e}")
+
+    # final two poses
+    wxyz = lambda q: jnp.asarray(np.r_[q[3], q[:3]], jnp.float32)
+    R_e = np.asarray(m3.quat_to_mat(q_e), np.float64)
+    R_o = np.asarray(m3.quat_to_mat(wxyz(oracle["q"])), np.float64)
+    dR = np.abs(R_e - R_o).max()
+    dt = np.abs(np.asarray(t_e, np.float64) - oracle["t"]).max()
+    Rl_e = np.asarray(m3.quat_to_mat(ql_e), np.float64)
+    Rl_o = np.asarray(m3.quat_to_mat(wxyz(oracle["ql"])), np.float64)
+    dRl = np.abs(Rl_e - Rl_o).max()
+    dtl = np.abs(np.asarray(tl_e, np.float64) - oracle["tl"]).max()
+    # and both must actually have moved toward the truth
+    d_truth = np.abs(np.asarray(t_e, np.float64) - fx["t_true"]).max()
+    d_start = np.abs(fx["t0"] - fx["t_true"]).max()
+    print(f"mapping-solve pose parity: dR={dR:.2e} dt={dt:.2e} "
+          f"dR_last={dRl:.2e} dt_last={dtl:.2e} "
+          f"(moved {d_start:.3f}->{d_truth:.4f} m of truth)")
+    assert d_truth < 0.3 * d_start
+    assert dR < 1e-4, dR
+    assert dt < 1e-4, dt
+    assert dRl < 1e-4, dRl
+    assert dtl < 1e-4, dtl
+
+
+# ---------------------------------------------------------------------------
+# (h) loop-closure ICP (pcl::IterativeClosestPoint, RGC_mapping.cpp:2050-2081)
+# ---------------------------------------------------------------------------
+
+
+def _submap_points(seed, n, drop_box=False):
+    """Structured 'submap' point set: walls + boxes + floor patches."""
+    rs = np.random.RandomState(seed)
+    ex, ey, ez = np.eye(3)
+
+    def plane(n_pts, span, base, axes):
+        uv = rs.uniform(-span, span, (n_pts, 2))
+        return base + uv[:, :1] * axes[0] + uv[:, 1:] * axes[1]
+
+    parts = [
+        plane(n // 4, 5.0, np.array([9.0, 0, 1.5]), (ey, ez)),
+        plane(n // 4, 5.0, np.array([0, -7.0, 1.5]), (ex, ez)),
+        plane(n // 4, 7.0, np.array([0, 0, 0.0]), (ex, ey)),
+    ]
+    if not drop_box:
+        parts.append(plane(n - 3 * (n // 4), 1.2, np.array([3.0, 4.0, 1.0]),
+                           (ex + 0.3 * ey, ez)))
+    else:
+        parts.append(plane(n - 3 * (n // 4), 1.2, np.array([-4.0, 2.0, 1.0]),
+                           (ey - 0.2 * ex, ez)))
+    pts = np.concatenate(parts)
+    return pts + rs.normal(0, 0.02, pts.shape)
+
+
+def _drifted(pts, yaw, t, seed=0):
+    c, s = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    rs = np.random.RandomState(seed + 100)
+    # independent sampling noise so src isn't a permuted copy of tgt
+    return pts @ R.T + np.asarray(t) + rs.normal(0, 0.02, pts.shape)
+
+
+def test_loop_icp_parity():
+    """Loop-ICP oracle (VERDICT r3 item 3): the engine's iterated
+    1-NN+Kabsch vs the transliterated pcl::IterativeClosestPoint pipeline.
+    The assertion that matters: accept/reject agreement at the reference's
+    0.1 fitness gate (historyKeyframeFitnessScore); transforms and fitness
+    must also agree on accepted pairs."""
+    from rgc_slam_tpu.models.loop import icp_point2point
+
+    max_corr = 14.0     # poseGraphSearchRadius(7) * 2, RGC_mapping.cpp:2052
+    gate = 0.1
+    cases = [
+        # (src drift, tgt seed offset, expect-accept)
+        ((0.03, [0.3, -0.2, 0.05]), 0, True),     # small drift: clean loop
+        ((0.10, [0.8, 0.5, -0.1]), 0, True),      # larger recoverable drift
+        ((0.02, [0.1, 0.1, 0.0]), 7, False),      # DIFFERENT place: reject
+    ]
+    rows = []
+    for k, ((yaw, t), tgt_seed, expect) in enumerate(cases):
+        # tgt dense enough that the independent-sampling NN floor sits well
+        # under the 0.1 gate (fitness floor = squared NN spacing, EVAL.md)
+        tgt = _submap_points(21 + tgt_seed, 3072, drop_box=tgt_seed != 0)
+        src = _drifted(_submap_points(21, 512), yaw, t, seed=k)
+
+        q_e, t_e, fit_e, n_e = jax.jit(functools.partial(
+            icp_point2point, max_corr=jnp.asarray(max_corr, jnp.float32),
+            iterations=CFG.loop_icp_iterations,
+        ))(
+            jnp.asarray(src, jnp.float32), jnp.ones(len(src), bool),
+            jnp.asarray(tgt, jnp.float32), jnp.ones(len(tgt), bool),
+        )
+        o = parity.reference_loop_icp(src, tgt, max_corr)
+
+        acc_e = float(fit_e) < gate
+        acc_o = o["fitness"] < gate
+        rows.append((k, float(fit_e), o["fitness"], o["state"]))
+        assert acc_e == acc_o, (k, float(fit_e), o["fitness"])
+        assert acc_e == expect, (k, float(fit_e), expect)
+        if expect:
+            R_e = np.asarray(m3.quat_to_mat(q_e), np.float64)
+            dR = np.abs(R_e - o["T"][:3, :3]).max()
+            dt = np.abs(np.asarray(t_e, np.float64) - o["T"][:3, 3]).max()
+            rel_fit = abs(float(fit_e) - o["fitness"]) / o["fitness"]
+            assert dR < 2e-3, (k, dR)
+            assert dt < 5e-3, (k, dt)
+            assert rel_fit < 0.02, (k, rel_fit)
+    print("\nloop-icp parity (engine_fit, oracle_fit, oracle_state):")
+    for r in rows:
+        print(f"  case {r[0]}: {r[1]:.4f} vs {r[2]:.4f} [{r[3]}]")
+
+
+# ---------------------------------------------------------------------------
 # (f) azimuth -> relative sweep time (scanRegistration.cpp:115-207)
 # ---------------------------------------------------------------------------
 

@@ -418,3 +418,58 @@ def test_pointcloud2_misaligned_fields():
     np.testing.assert_allclose(out["xyz"], xyz, rtol=1e-7)
     np.testing.assert_allclose(out["time"], rel, rtol=1e-6)
     np.testing.assert_array_equal(out["ring"], ring)
+
+
+@pytest.mark.parametrize("compression", ["none", "lz4", "bz2"])
+def test_bag_truncation_fuzz_sweep(tmp_path, compression):
+    """Seeded byte-truncation fuzz (VERDICT r3 item 7): cut a valid bag at
+    25 random offsets each and replay.  The reader must STOP GRACEFULLY
+    every time — yield some prefix of the scans, never an unhandled
+    exception.  (A truncation that lands inside the 13-byte bag header may
+    legitimately raise IOError("not a rosbag") — that is the loud-and-clear
+    path, also graceful.)"""
+    path = str(tmp_path / f"fz_{compression}.bag")
+    rng2 = np.random.default_rng(11)
+    _write_bag(path, rng2, compression=compression)
+    full = open(path, "rb").read()
+    fuzz = np.random.default_rng(1234)
+    cuts = sorted(set(
+        int(c) for c in fuzz.integers(1, len(full), size=25)
+    ))
+    for cut in cuts:
+        bad = str(tmp_path / "cut.bag")
+        with open(bad, "wb") as f:
+            f.write(full[:cut])
+        try:
+            scans = list(rb.scan_stream(bad))
+        except IOError as e:
+            # only the explicit validation error is acceptable
+            assert "rosbag" in str(e) or "bigendian" in str(e), (cut, e)
+            continue
+        assert len(scans) <= 4, (cut, len(scans))
+        for s in scans:
+            assert np.isfinite(s["xyz"]).all(), (cut, "NaN leaked")
+
+
+def test_bag_byteflip_fuzz_sweep(tmp_path):
+    """Seeded byte-FLIP fuzz: corrupt one byte at 20 random offsets of an
+    lz4 bag.  Replay must never raise anything but the reader's own
+    IOError; decoded scans must stay finite."""
+    path = str(tmp_path / "flip.bag")
+    rng2 = np.random.default_rng(12)
+    _write_bag(path, rng2, compression="lz4")
+    full = bytearray(open(path, "rb").read())
+    fuzz = np.random.default_rng(99)
+    offs = sorted(set(int(c) for c in fuzz.integers(13, len(full), size=20)))
+    for off in offs:
+        bad_bytes = bytearray(full)
+        bad_bytes[off] ^= 0xA5
+        bad = str(tmp_path / "flip_cut.bag")
+        with open(bad, "wb") as f:
+            f.write(bytes(bad_bytes))
+        try:
+            scans = list(rb.scan_stream(bad))
+        except IOError as e:
+            continue                 # the reader's own validation error
+        for s in scans:
+            assert np.isfinite(s["xyz"]).all(), (off, "NaN leaked")

@@ -95,19 +95,7 @@ def test_degraded_corridor_intensity_injection():
     assert n_sharp > 0 and n_flat > 50
 
 
-def test_corridor_full_slam_survives():
-    """Full SLAM must stay bounded in the degenerate corridor.
-
-    Without the restored A-LOAM parallel-surface suppression
-    (cfg.parallel_surface_check — the reference dropped it), viewpoint-
-    dependent curvature picks on the grazing walls drag the mapping solve
-    backward (measured 0.82 m ATE here); with it, 0.20 m.  The 0.20 floor
-    is set by the reference-faithful half-voxel VGICP binning
-    (fast_vgicp_voxel.hpp:158-162) on this deliberately coarse 360-azimuth
-    scene — the unshifted binning measured 0.05, see EVAL.md
-    "VGICP constraint-radius analysis" for the mechanism.
-    """
-    cfg = TEST_CONFIG
+def _corridor_run(cfg):
     world = synthetic.corridor_world()
     # straight drive along the corridor axis, inside VGICP's wall-constraint
     # radius: at x=-20 the end wall sits 10-13 m behind (>=2 rings/voxel).
@@ -132,10 +120,33 @@ def test_corridor_full_slam_survives():
         state, out = step(state, cloud, ib, jnp.asarray(0.1 * (k + 1), jnp.float32))
         est.append(np.asarray(out.t_map))
     gt = np.stack([t for (_, t) in poses])
-    ate = ate_rmse(np.stack(est), gt)
-    # gate = measured 0.20 + ~30% headroom so it still trips on regressions
-    # (the earlier 0.3 left too much slack — ADVICE r3)
-    assert ate < 0.26, f"corridor full-SLAM ATE {ate:.3f}"
+    return ate_rmse(np.stack(est), gt)
+
+
+def test_corridor_full_slam_survives():
+    """Full SLAM must stay bounded in the degenerate corridor — under the
+    REFERENCE's loss semantics (Ceres HuberLoss(0.1), frozen-weight
+    corrector, enforced by the stage-6 parity oracle).
+
+    History of the measured floor on this deliberately coarse 360-azimuth
+    scene: 0.05 with unshifted VGICP binning; 0.20 after adopting the
+    reference-exact half-voxel binning (fast_vgicp_voxel.hpp:158-162) while
+    the mapping Huber still leaked gradient through its IRLS weight (an
+    accidental L1 M-estimator); 0.66 under reference-exact Huber — the
+    grazing-wall viewpoint-dependent picks genuinely pull a Huber solve
+    backward, in the engine and in Ceres alike.  The L1 deviation is kept
+    as cfg.mapping_loss="l1" and pinned by the test below."""
+    ate = _corridor_run(TEST_CONFIG)
+    # measured 0.66 + ~30% headroom as the regression tripwire
+    assert ate < 0.86, f"corridor full-SLAM ATE {ate:.3f}"
+
+
+def test_corridor_l1_loss_rescues():
+    """cfg.mapping_loss="l1" (documented deviation): the L1 M-estimator's
+    harder outlier suppression keeps the same corridor at ~0.20 m."""
+    cfg = dataclasses.replace(TEST_CONFIG, mapping_loss="l1")
+    ate = _corridor_run(cfg)
+    assert ate < 0.26, f"corridor L1 ATE {ate:.3f}"
 
 
 def test_32beam_pipeline():

@@ -101,6 +101,8 @@ def run_sequence(cfg, seq, loop_every=0):
 
 
 def main():
+    from rgc_slam_tpu.utils.backend import ensure_backend
+    ensure_backend()
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
     ap.add_argument(

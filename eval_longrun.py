@@ -44,6 +44,8 @@ CFG = dataclasses.replace(
 
 
 def main():
+    from rgc_slam_tpu.utils.backend import ensure_backend
+    ensure_backend()
     # ~5.3 laps of a 12 m-radius circle: 400 m travel ~= 3x store capacity
     seq = synthetic.generate_sequence(
         n_scans=N_SCANS, n_azimuth=360, seed=31, extent=26.0, radius=12.0,

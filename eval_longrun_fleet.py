@@ -55,6 +55,8 @@ CFG = dataclasses.replace(
 
 
 def main():
+    from rgc_slam_tpu.utils.backend import ensure_backend
+    ensure_backend()
     cfg = CFG
     n_seeds = min(N_SEEDS, B)
     reps = -(-B // n_seeds)

@@ -112,6 +112,8 @@ def run_case(K: int, cg_iters: int, reps: int = 3):
 
 
 def main():
+    from rgc_slam_tpu.utils.backend import ensure_backend
+    ensure_backend()
     rows = []
     for K in (512, 2048, 4096):
         for cg in (128,):

@@ -93,6 +93,8 @@ def run_mesh(n_sp, inputs):
 
 
 def main():
+    from rgc_slam_tpu.utils.backend import ensure_backend
+    ensure_backend()
     # one sp size per invocation (each compile is minutes on the virtual
     # mesh); rows accumulate in eval_sp.json.  --table prints the summary.
     import argparse

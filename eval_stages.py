@@ -175,6 +175,8 @@ def fleet_breakdown(B: int = 128, iters: int = 20):
 
 
 def main():
+    from rgc_slam_tpu.utils.backend import ensure_backend
+    ensure_backend()
     cfg = BENCH_CONFIG
     seq = synthetic.generate_sequence(
         n_scans=8, n_azimuth=900, seed=1, extent=30.0, radius=12.0,

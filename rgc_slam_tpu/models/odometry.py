@@ -172,6 +172,44 @@ def _insert_submap(state: OdometryState, xyz_w, cov_w, mask, q, t) -> OdometrySt
 # ---------------------------------------------------------------------------
 
 
+def fusion_solve(
+    q_l, t_l, fitness, g_last, ground_cur, q_w_curr_f,
+    delta_q_imu, imu_cov, w_imu, w_ground,
+):
+    """The odometer's (q, t) factor-fusion solve (RGC_odometer.cpp:
+    1024-1119 + ceres::Solve at 1188-1193): DeltaR(q_l, fitness) +
+    [ground] DeltaP(t_l, fitness/10) + Ground_DeltaFactor(0.2) +
+    [imu] DeltaR(delta_q_imu, imu_cov) — every block NULL loss (the
+    HuberLoss object at cpp:1025 is created but never attached).
+
+    Solved by ceres_lm with the identity cost (no robust losses, so the
+    TRUE cost IS the residual square), matching Ceres's DENSE_QR
+    max_num_iterations=6 trust-region semantics — parity enforced by the
+    stage-7 oracle (utils/parity.reference_odometry_fusion).  Extracted
+    from odometry_step so the oracle can drive it directly."""
+
+    def residuals(delta):
+        q = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[:3]), q_l))
+        t = t_l + delta[3:]
+        r_lidar_q = fac.delta_r_residual(q, q_l, fitness)
+        r_lidar_p = fac.delta_p_residual(t, t_l, fitness / 10.0) * w_ground
+        r_ground = (
+            fac.ground_delta_residual(q, t, g_last, ground_cur, q_w_curr_f, 0.2)
+            * w_ground
+        )
+        r_imu = fac.delta_r_residual(q, delta_q_imu, imu_cov) * w_imu
+        return jnp.concatenate([r_lidar_q, r_lidar_p, r_ground, r_imu])
+
+    def cost(delta):
+        r = residuals(delta)
+        return 0.5 * jnp.sum(r * r)
+
+    delta = fac.ceres_lm(residuals, cost, 6, iterations=6)
+    q_fused = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[:3]), q_l))
+    t_fused = t_l + delta[3:]
+    return q_fused, t_fused
+
+
 def odometry_step(
     state: OdometryState,
     fx: FeatureExtraction,
@@ -314,22 +352,10 @@ def odometry_step(
         imu_cov = jnp.maximum(imu_cov, 1e-4)
     w_ground = jnp.where(ground_active, 1.0, 0.0).astype(dtype)
     w_imu = jnp.asarray(1.0 if cfg.use_imu else 0.0, dtype)
-
-    def residuals(delta):
-        q = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[:3]), q_l))
-        t = t_l + delta[3:]
-        r_lidar_q = fac.delta_r_residual(q, q_l, fitness)
-        r_lidar_p = fac.delta_p_residual(t, t_l, fitness / 10.0) * w_ground
-        r_ground = (
-            fac.ground_delta_residual(q, t, g_last, ground_cur, q_w_curr_f, 0.2)
-            * w_ground
-        )
-        r_imu = fac.delta_r_residual(q, delta_q_imu, imu_cov) * w_imu
-        return jnp.concatenate([r_lidar_q, r_lidar_p, r_ground, r_imu])
-
-    delta = fac.gauss_newton(residuals, 6, iterations=6)
-    q_fused = m3.quat_normalize(m3.quat_mul(m3.quat_exp(delta[:3]), q_l))
-    t_fused = t_l + delta[3:]
+    q_fused, t_fused = fusion_solve(
+        q_l, t_l, fitness, g_last, ground_cur, q_w_curr_f,
+        delta_q_imu, imu_cov, w_imu, w_ground,
+    )
     # without the ground factor the reference keeps the raw VGICP translation
     t_fused = jnp.where(ground_active, t_fused, t_l)
 

@@ -22,6 +22,10 @@ with the TPU engine:
                                         the Ceres trust-region LM internals
                                         it runs on (trust_region_minimizer /
                                         levenberg_marquardt_strategy defaults)
+  * ``reference_loop_icp``              pcl::IterativeClosestPoint as used at
+                                        RGC_mapping.cpp:2050-2081
+  * ``reference_odometry_fusion``       RGC_odometer.cpp:1024-1119 (the
+                                        odometer's (q,t) fusion Ceres solve)
 
 Host-side and intentionally slow; deliberately quirk-faithful (e.g. the
 Mid_Filter's zero-initialized buffers, the duplicate pushes in the ground
@@ -816,24 +820,27 @@ def _mapping_factor_blocks(
     return blocks, None, None
 
 
-def _ceres_lm_solve(blocks, x0, max_iterations=6, huber_delta=0.1):
+def _ceres_lm_solve(blocks, x0, max_iterations=6, huber_delta=0.1,
+                    kinds=("quat", "vec3", "quat", "vec3")):
     """ceres::Solve with TrustRegionMinimizer + LM strategy defaults.
 
-    x = (q[xyzw], t, ql[xyzw], tl); local tangent dim 12 (Eigen quaternion
-    parameterization on both quats).  Jacobians by central finite differences
-    in the local parametrization (stands in for autodiff; ~1e-10 accurate).
+    ``kinds`` names each parameter block of x ("quat" = Eigen quaternion
+    parameterization, xyzw storage, 3-dim local tangent; "vec3" = plain);
+    local dim = 3·len(kinds).  Jacobians by central finite differences in
+    the local parametrization (stands in for autodiff; ~1e-10 accurate).
     """
     radius = 1e4
     decrease_factor = 2.0
     x = [np.asarray(v, float).copy() for v in x0]
+    dim = 3 * len(kinds)
 
     def plus(x, step):
-        return [
-            _eigen_quat_plus(x[0], step[0:3]),
-            x[1] + step[3:6],
-            _eigen_quat_plus(x[2], step[6:9]),
-            x[3] + step[9:12],
-        ]
+        out = []
+        for i, kind in enumerate(kinds):
+            d = step[3 * i: 3 * i + 3]
+            out.append(_eigen_quat_plus(x[i], d) if kind == "quat"
+                       else x[i] + d)
+        return out
 
     def corrected(x):
         """Residual vector + jacobian with the Huber corrector applied."""
@@ -841,9 +848,9 @@ def _ceres_lm_solve(blocks, x0, max_iterations=6, huber_delta=0.1):
         eps = 1e-7
         for fn, loss in blocks:
             r = np.atleast_1d(fn(x))
-            J = np.zeros((len(r), 12))
-            for c in range(12):
-                dp = np.zeros(12)
+            J = np.zeros((len(r), dim))
+            for c in range(dim):
+                dp = np.zeros(dim)
                 dp[c] = eps
                 rp = np.atleast_1d(fn(plus(x, dp)))
                 rm = np.atleast_1d(fn(plus(x, -dp)))
@@ -879,7 +886,7 @@ def _ceres_lm_solve(blocks, x0, max_iterations=6, huber_delta=0.1):
         D = np.sqrt(np.clip(JtJ_diag, 1e-6, 1e32) / radius)
         # DENSE_QR on the augmented system [J; diag(D)] step = [-r; 0]
         A = np.concatenate([J, np.diag(D)], axis=0)
-        rhs = np.concatenate([-r, np.zeros(12)])
+        rhs = np.concatenate([-r, np.zeros(dim)])
         step, *_ = np.linalg.lstsq(A, rhs, rcond=None)
         model_res = J @ step
         model_cost_change = -model_res @ (r + model_res / 2.0)
@@ -896,13 +903,13 @@ def _ceres_lm_solve(blocks, x0, max_iterations=6, huber_delta=0.1):
                 decrease_factor = 2.0
                 cost_change = cost - new_cost
                 x = x_new
-                x[0] = x[0] / np.linalg.norm(x[0])
-                x[2] = x[2] / np.linalg.norm(x[2])
+                for i, kind in enumerate(kinds):
+                    if kind == "quat":
+                        x[i] = x[i] / np.linalg.norm(x[i])
                 converged = (
                     abs(cost_change) <= 1e-6 * cost
                     or np.linalg.norm(step)
-                    <= 1e-8 * (np.linalg.norm(np.concatenate(
-                        [x[0], x[1], x[2], x[3]])) + 1e-8)
+                    <= 1e-8 * (np.linalg.norm(np.concatenate(x)) + 1e-8)
                 )
                 cost = new_cost
                 if converged:
@@ -977,6 +984,66 @@ def reference_mapping_solve(
         })
         x = _ceres_lm_solve(blocks, x, max_iterations=max_inner_iters)
     return {"q": x[0], "t": x[1], "ql": x[2], "tl": x[3], "outer": assoc_log}
+
+
+# ---------------------------------------------------------------------------
+# (i) odometry factor fusion (RGC_odometer.cpp:1024-1213)
+# ---------------------------------------------------------------------------
+
+
+def reference_odometry_fusion(
+    q_l, t_l,                  # xyzw VGICP relative pose — init AND measurement
+    fitness,                   # vgicp_source
+    ground=None,               # (g_last dict, g_cur dict, q_w_curr_f xyzw)
+    delta_q_imu=None, imu_cov=None,
+    max_iterations=6,
+):
+    """The odometer's (q, t) fusion Ceres problem (RGC_odometer.cpp:
+    1024-1119 + solve at 1188-1193): DeltaRFactor(q_l, vgicp_source) on q;
+    when ground is active, DeltaPFactor(t_l, vgicp_source/10) on t and
+    Ground_DeltaFactor(g_last, g_cur, q_w_curr_f, 0.2) on (q, t); when IMU
+    is active, DeltaRFactor(delta_q_imu, imu_cov) on q.  EVERY block has
+    NULL loss — the HuberLoss object at cpp:1025 is created but never
+    passed to AddResidualBlock.  DENSE_QR, max_num_iterations = 6.
+    Returns {"q", "t"} (xyzw)."""
+    blocks = []
+
+    def dr(meas, var):
+        m = np.asarray(meas, float)
+
+        def fn(x):
+            err = _quat_mul_xyzw(_quat_conj_xyzw(m), x[0])
+            return 2.0 * err[:3] / var
+        return fn
+
+    blocks.append((dr(q_l, fitness), None))
+    if ground is not None:
+        g_last, g_cur, q_hist = ground
+        tl = np.asarray(t_l, float)
+        qh = np.asarray(q_hist, float)
+
+        def dp(x):
+            return (x[1] - tl) / (fitness / 10.0)
+        blocks.append((dp, None))
+
+        def gd(x):
+            norm_cur = _quat_rotate_xyzw(x[0], g_cur["normal"])
+            delta_t = _quat_rotate_xyzw(qh, x[1])
+            dist_cur = g_cur["distance"] + delta_t[2]
+            return np.array([
+                (g_last["distance"] - dist_cur) / (0.2 / 1000.0),
+                abs(g_last["v1"] @ norm_cur) / (0.2 * 10.0),
+                abs(g_last["v2"] @ norm_cur) / (0.2 * 10.0),
+            ])
+        blocks.append((gd, None))
+    if delta_q_imu is not None:
+        blocks.append((dr(delta_q_imu, imu_cov), None))
+
+    x = _ceres_lm_solve(
+        blocks, [np.asarray(q_l, float), np.asarray(t_l, float)],
+        max_iterations=max_iterations, kinds=("quat", "vec3"),
+    )
+    return {"q": x[0], "t": x[1]}
 
 
 # ---------------------------------------------------------------------------

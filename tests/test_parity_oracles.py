@@ -630,6 +630,81 @@ def test_mapping_solve_parity():
 
 
 # ---------------------------------------------------------------------------
+# (i) odometry factor fusion (RGC_odometer.cpp:1024-1213)
+# ---------------------------------------------------------------------------
+
+
+def test_odometry_fusion_parity():
+    """Stage-7 oracle: the odometer's (q,t) fusion solve — DeltaR(vgicp) +
+    DeltaP + Ground_DeltaFactor + DeltaR(imu), all NULL loss, Ceres
+    DENSE_QR max 6 iterations — vs the engine's fusion_solve (ceres_lm).
+    The ground factor's var/1000 weighting (5000x) is exactly the f32
+    equilibration stress the engine's solver exists for."""
+    from rgc_slam_tpu.models.odometry import fusion_solve
+    from rgc_slam_tpu.types import GroundPlane
+
+    rs = np.random.RandomState(4)
+    for trial in range(6):
+        # VGICP relative pose: small forward motion + yaw
+        q_l = np.asarray(m3.ypr_to_quat(jnp.asarray(
+            rs.uniform(-0.05, 0.05, 3).astype(np.float32))), np.float64)
+        t_l = rs.uniform(-0.3, 0.3, 3)
+        t_l[0] += 0.2
+        fitness = float(rs.uniform(0.05, 0.6))
+        imu_cov = float(rs.uniform(0.05, 0.9))
+        # IMU measurement near (but not at) the lidar rotation
+        dq_pert = np.asarray(m3.ypr_to_quat(jnp.asarray(
+            rs.uniform(-0.01, 0.01, 3).astype(np.float32))), np.float64)
+        delta_q_imu = np.asarray(m3.quat_mul(
+            jnp.asarray(dq_pert, jnp.float32), jnp.asarray(q_l, jnp.float32)),
+            np.float64)
+        # consistent-ish ground pair with a small inconsistency to resolve
+        q_hist = np.asarray(m3.ypr_to_quat(jnp.asarray(
+            rs.uniform(-0.2, 0.2, 3).astype(np.float32))), np.float64)
+        g_last_d = 0.56 + rs.uniform(-0.02, 0.02)
+        dtz = float(np.asarray(m3.quat_rotate(
+            jnp.asarray(q_hist, jnp.float32), jnp.asarray(t_l, jnp.float32)))[2])
+        g_cur_d = g_last_d - dtz + rs.uniform(-0.002, 0.002)
+
+        gp = GroundPlane(
+            normal=jnp.asarray([0.0, 0, 1], jnp.float32),
+            v1=jnp.asarray([1.0, 0, 0], jnp.float32),
+            v2=jnp.asarray([0.0, 1, 0], jnp.float32),
+            distance=jnp.asarray(g_last_d, jnp.float32),
+            source=jnp.asarray(0.0, jnp.float32), valid=jnp.asarray(True))
+        gp_cur = gp.replace(distance=jnp.asarray(g_cur_d, jnp.float32))
+
+        f32 = lambda a: jnp.asarray(a, jnp.float32)
+        q_e, t_e = jax.jit(fusion_solve)(
+            f32(q_l), f32(t_l), jnp.asarray(fitness, jnp.float32),
+            gp, gp_cur, f32(q_hist), f32(delta_q_imu),
+            jnp.asarray(imu_cov, jnp.float32),
+            jnp.asarray(1.0, jnp.float32), jnp.asarray(1.0, jnp.float32),
+        )
+
+        o = parity.reference_odometry_fusion(
+            _xyzw(q_l), t_l, fitness,
+            ground=({"normal": np.array([0.0, 0, 1]), "v1": np.array([1.0, 0, 0]),
+                     "v2": np.array([0.0, 1, 0]), "distance": g_last_d},
+                    {"normal": np.array([0.0, 0, 1]), "v1": np.array([1.0, 0, 0]),
+                     "v2": np.array([0.0, 1, 0]),
+                     "distance": float(jnp.asarray(g_cur_d, jnp.float32))},
+                    _xyzw(q_hist)),
+            delta_q_imu=_xyzw(delta_q_imu), imu_cov=imu_cov,
+        )
+        R_e = np.asarray(m3.quat_to_mat(q_e), np.float64)
+        R_o = np.asarray(m3.quat_to_mat(jnp.asarray(
+            np.r_[o["q"][3], o["q"][:3]], jnp.float32)), np.float64)
+        dR = np.abs(R_e - R_o).max()
+        dt = np.abs(np.asarray(t_e, np.float64) - o["t"]).max()
+        assert dR < 1e-4, (trial, dR)
+        assert dt < 1e-4, (trial, dt)
+        # the solve must actually do something: z moves toward the
+        # ground-consistent value, rotation blends toward the IMU
+        assert np.abs(np.asarray(t_e, np.float64) - t_l).max() > 1e-5
+
+
+# ---------------------------------------------------------------------------
 # (h) loop-closure ICP (pcl::IterativeClosestPoint, RGC_mapping.cpp:2050-2081)
 # ---------------------------------------------------------------------------
 

@@ -1180,3 +1180,49 @@ def reference_rel_time(xyz: np.ndarray, dtype=np.float64) -> np.ndarray:
                 ori -= 2 * np.pi
         rel[i] = (ori - start_ori) / (end_ori - start_ori)
     return rel
+
+
+def _eigen_slerp_wxyz(qa: np.ndarray, qb: np.ndarray, t: float) -> np.ndarray:
+    """Eigen Quaternion::slerp, exactly (Quaternion.h): |dot|>=1-eps linear
+    branch, acos/sin weights otherwise, shortest-path sign on scale1, NO
+    final normalize (unit inputs stay unit to rounding)."""
+    d = float(np.dot(qa, qb))
+    abs_d = abs(d)
+    one = 1.0 - np.finfo(np.float64).eps
+    if abs_d >= one:
+        scale0, scale1 = 1.0 - t, t
+    else:
+        theta = np.arccos(abs_d)
+        sin_theta = np.sin(theta)
+        scale0 = np.sin((1.0 - t) * theta) / sin_theta
+        scale1 = np.sin(t * theta) / sin_theta
+    if d < 0:
+        scale1 = -scale1
+    return scale0 * qa + scale1 * qb
+
+
+def reference_deskew(
+    xyz: np.ndarray,
+    intensity: np.ndarray,
+    q_last_curr_wxyz: np.ndarray,
+    t_last_curr: np.ndarray,
+    scan_period: float = 0.1,
+) -> np.ndarray:
+    """Sequential transliteration of ``vg_ICP::adjustDistortion``
+    (RGC_odometer.cpp:1441-1481): per point,
+    s = 1 - frac(intensity)/SCAN_PERIOD (cpp:1448, SCAN_PERIOD=0.1
+    cpp:323), q_p = Identity.slerp(s, q_last_curr^-1) with Eigen's exact
+    slerp branches, p' = q_p * (p - s * t_last_curr).  Constant-velocity
+    deskew to the end-of-scan frame."""
+    q_inv = q_last_curr_wxyz * np.array([1.0, -1.0, -1.0, -1.0])
+    ident = np.array([1.0, 0.0, 0.0, 0.0])
+    out = np.empty_like(xyz, dtype=np.float64)
+    for i in range(xyz.shape[0]):
+        s = 1.0 - (intensity[i] - int(intensity[i])) / scan_period
+        q_p = _eigen_slerp_wxyz(ident, q_inv, float(s))
+        w, qv = q_p[0], q_p[1:]
+        v = xyz[i].astype(np.float64) - s * t_last_curr
+        # Eigen QuaternionBase::_transformVector: v + 2w(qv x v) + 2 qv x (qv x v)
+        uv = 2.0 * np.cross(qv, v)
+        out[i] = v + w * uv + np.cross(qv, uv)
+    return out

@@ -825,3 +825,49 @@ def test_rel_time_matches_reference_machine(rng):
             # endpoints: first point at 0, last at ~1 by construction
             assert abs(got[0]) < 1e-6
             assert abs(got[-1] - 1.0) < 0.15
+
+
+def test_deskew_parity(rng):
+    """Stage-8 oracle: `deskew_points` must reproduce adjustDistortion
+    (RGC_odometer.cpp:1441-1481) — per-point s = 1 - relTime, Eigen
+    Identity.slerp(s, q^-1) (both trig and near-parallel linear branches,
+    shortest-path sign), p' = q_p * (p - s t).  The engine takes rel_time
+    directly; the oracle decodes it from the intensity field the way the
+    C++ does (frac/SCAN_PERIOD, cpp:1448)."""
+    import jax.numpy as jnp
+    from rgc_slam_tpu.models.odometry import deskew_points
+    from rgc_slam_tpu.utils import math3d as m3
+    from rgc_slam_tpu.utils.parity import reference_deskew
+
+    local = np.random.default_rng(1234)
+    n = 257
+    cases = [
+        # (axis-angle magnitude, label) — small hits Eigen's linear branch,
+        # large the trig branch; negative-w hits the d<0 sign flip
+        (1e-9, "linear-branch"),
+        (0.02, "typical inter-scan rotation"),
+        (2.9, "large rotation"),
+    ]
+    for mag, label in cases:
+        axis = local.standard_normal(3)
+        axis /= np.linalg.norm(axis)
+        q = np.zeros(4)
+        q[0] = np.cos(mag / 2)
+        q[1:] = np.sin(mag / 2) * axis
+        if mag > 2.0:
+            q = -q  # negative-w representative: d<0 path in Eigen slerp
+        t = local.standard_normal(3) * 0.5
+        xyz = local.standard_normal((n, 3)) * 30.0
+        rel = local.uniform(0.0, 1.0, n)
+        ring = local.integers(0, 16, n)
+        intensity = ring.astype(np.float64) + 0.1 * rel
+
+        want = reference_deskew(xyz, intensity, q, t, scan_period=0.1)
+        got = deskew_points(
+            jnp.asarray(xyz, jnp.float32),
+            jnp.asarray(rel, jnp.float32),
+            jnp.asarray(q, jnp.float32),
+            jnp.asarray(t, jnp.float32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), want, atol=1e-4), label

@@ -18,6 +18,7 @@ import argparse
 import dataclasses
 import functools
 import json
+import sys
 import time
 
 import numpy as np
@@ -139,6 +140,14 @@ def main():
             return True
         return gate in only or any(k in only for k in GATES[gate])
 
+    def note(msg: str) -> None:
+        # stderr + flush: stdout stays the final JSON, and multi-hour CPU
+        # runs need a live progress trail (the 1-core host runs each config
+        # for many minutes; a silent 2 h process is indistinguishable from a
+        # hung one).
+        print(f"[eval {time.strftime('%H:%M:%S')}] {msg}",
+              file=sys.stderr, flush=True)
+
     results = {}
     if only:
         try:
@@ -152,17 +161,20 @@ def main():
     # ---- config 1: full pipeline minus loop closure (16-ch + IMU + ground);
     # ate_map_m is the mapping headline, ate_odom_m the raw odometry ----
     if want("1") or want("1p"):
+        note("config 1/1p: generating 16-ch sequence")
         seq1 = synthetic.generate_sequence(
             n_scans=60 if q else 400, n_azimuth=900, seed=21, extent=30.0,
             radius=12.0, noise=0.01, closes_loop=False, speed=2.0,
         )
         cfg1 = dataclasses.replace(BASE, loop_closure_enable=False)
         if want("1"):
+            note("config 1: full pipeline, no loop")
             results["1_full_pipeline_no_loop"] = run_sequence(cfg1, seq1)
 
         # ---- config 1p: same, with the preintegration-covariance IMU
         # weight (cfg.imu_cov_mode="preint") — VERDICT r1 item 9 ----
         if want("1p"):
+            note("config 1p: preint IMU covariance")
             cfg1p = dataclasses.replace(cfg1, imu_cov_mode="preint")
             results["1p_preint_imu_cov"] = run_sequence(cfg1p, seq1)
 
@@ -170,6 +182,7 @@ def main():
     # loop cadence = the PRODUCT cadence (cfg.loop_cadence, the reference's
     # 1 Hz thread at 10 Hz scans) so eval exercises what users get ----
     if want("2"):
+        note("config 2: full SLAM + loop closure")
         seq2 = synthetic.generate_sequence(
             n_scans=120 if q else 600, n_azimuth=900, seed=22, extent=26.0,
             radius=10.0, noise=0.01, closes_loop=True, laps=1.6,
@@ -191,6 +204,7 @@ def main():
     # back: 100 m path, and the turn makes raw odometry drift that the
     # mapping stage must absorb (measured: ate_odom ~3.2 m, ate_map ~0.22).
     if want("3"):
+        note("config 3: degraded corridor")
         world3 = synthetic.corridor_world(length=70.0, width=8.0,
                                           alcove_spacing=24.0)
 
@@ -228,6 +242,7 @@ def main():
     # stress PROFILE — named honestly: no real KITTI data exists in this
     # image).  r2 scale-up: 300 scans, ~120 m, full 65536-point caps ----
     if want("4"):
+        note("config 4: 64-beam lidar-only")
         seq4 = synthetic.generate_sequence(
             n_scans=30 if q else 300, n_rings=64, n_azimuth=900, seed=24,
             extent=45.0, radius=18.0, noise=0.01, closes_loop=False,
@@ -244,6 +259,7 @@ def main():
     from rgc_slam_tpu.parallel import fleet
 
     if want("5_fleet"):
+        note("config 5: 64-way fleet consistency")
         B = 64
         cfgF = FLEET_CONFIG
         seq5 = synthetic.generate_sequence(
@@ -278,6 +294,7 @@ def main():
     # closure + PGO run vmapped on the product cadence, and per-robot ATE is
     # checked against the B=1 run of the same stream (VERDICT r2 items 2/9) ----
     if not q and want("5b"):
+        note("config 5b: fleet full-SLAM distinct worlds")
         from rgc_slam_tpu.utils.evaluation import ate_rmse as _ate
 
         cfg5 = dataclasses.replace(
@@ -430,6 +447,7 @@ def main():
         pass
     with open("EVAL.md", "w") as f:
         f.write(auto + ("\n" + tail if tail else ""))
+    note("writing eval_results.json + EVAL.md")
     print(json.dumps(results, indent=2))
 
 

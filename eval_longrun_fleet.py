@@ -38,11 +38,16 @@ from rgc_slam_tpu.utils.evaluation import ate_rmse
 B = int(os.environ.get("RGC_FLEET_B", 32))
 N_SCANS = int(os.environ.get("RGC_FLEET_SCANS", 2000))
 N_SEEDS = int(os.environ.get("RGC_FLEET_SEEDS", 4))
+# Keyframe capacity: saturation (and thus compaction + post-saturation loop
+# accepts) must actually occur inside the run.  Travel is ~0.2 m/scan, the
+# keyframe gate 0.5 m, so saturation lands near scan KF*2.5 — a shrunk CPU
+# run (RGC_FLEET_SCANS) must shrink RGC_FLEET_KF with it.
+KF_CAP = int(os.environ.get("RGC_FLEET_KF", 256))
 LOOP_EVERY = 5
 
 CFG = dataclasses.replace(
     TEST_CONFIG,
-    max_keyframes=256,          # 0.5 m gate -> ~128 m travel capacity
+    max_keyframes=KF_CAP,       # 0.5 m gate -> KF_CAP/2 m travel capacity
     max_loops=32,
     loop_submap_halfwidth=25,
     max_loop_submap_points=8192,

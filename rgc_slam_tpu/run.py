@@ -62,6 +62,13 @@ def main(argv=None):
 
     import jax
 
+    # Probe the pinned TPU-tunnel backend before the first device op: a dead
+    # tunnel HANGS init for minutes, and jax caches the failure for the
+    # process lifetime (utils/backend.py).  Same fallback the eval/bench
+    # drivers use — the CLI must degrade to cpu, not hang.
+    from .utils.backend import ensure_backend
+    ensure_backend()
+
     from .config import SlamConfig
     from .io.convert import cloud_from_arrays, imu_from_interval
     from .models.slam import SlamSystem, SlamState

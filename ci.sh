@@ -13,13 +13,14 @@
 # (CLAUDE.md quotes the latest line).
 set -u
 tier="${1:-fast}"
+shift || true
 case "$tier" in
   fast) marker=(-m "not slow") ;;
   full) marker=() ;;
-  *) echo "usage: ./ci.sh [fast|full]" >&2; exit 2 ;;
+  *) echo "usage: ./ci.sh [fast|full] [extra pytest args]" >&2; exit 2 ;;
 esac
 start=$(date +%s)
-python -m pytest tests/ -q "${marker[@]}"
+python -m pytest tests/ -q "${marker[@]}" "$@"
 rc=$?
 wall=$(( $(date +%s) - start ))
 echo "tier=$tier rc=$rc wall=${wall}s"

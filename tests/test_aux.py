@@ -99,6 +99,7 @@ def test_resume_continues_identically(tmp_path, short_run):
     )
 
 
+@pytest.mark.slow
 def test_localization_mode_freezes_map(short_run):
     """map_update=False: keyframe store must not grow, loops must not fire."""
     seq, mapped_state, _ = short_run
@@ -159,6 +160,7 @@ def test_profiling_tools():
     assert m.series("fitness").shape == (2,)
 
 
+@pytest.mark.slow
 def test_init_pose_config():
     """init_x/y/z/yaw must set the first-frame pose (run.launch:33-36)."""
     cfg = dataclasses.replace(CFG, init_x=2.0, init_y=-1.0, init_z=0.5,
@@ -179,6 +181,7 @@ def test_init_pose_config():
     )
 
 
+@pytest.mark.slow
 def test_mapping_skip_frame():
     """mapping_skip_frame=2: keyframes only added on mapped frames; outputs
     still composed from map->odom on skipped frames."""
@@ -212,6 +215,7 @@ def test_keyframe_pcd_dump(tmp_path, short_run):
     assert len(files) == 2 * n_kf
 
 
+@pytest.mark.slow
 def test_slam_system_with_loops():
     """SlamSystem host driver runs the loop cadence without error."""
     from rgc_slam_tpu.models.slam import SlamSystem

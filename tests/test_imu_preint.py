@@ -89,6 +89,7 @@ def test_bias_jacobian_first_order():
     assert ang < 2e-4
 
 
+@pytest.mark.slow
 def test_rotation_variance_sets_delta_r_weight():
     """The θ-block variance gives a principled DeltaR cov: grows with window
     length and with gyro noise."""
@@ -109,6 +110,7 @@ def test_rotation_variance_sets_delta_r_weight():
     assert v(noisy) > 20 * v(short)
 
 
+@pytest.mark.slow
 def test_odometry_preint_cov_mode_tracks():
     """imu_cov_mode='preint' compiles and tracks a short synthetic sequence
     about as well as the reference weighting."""

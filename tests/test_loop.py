@@ -143,6 +143,7 @@ def test_loop_closure_end_to_end():
     assert kf_ate < 1.5, f"post-PGO keyframe ATE {kf_ate:.3f} m ({n_loops} loops)"
 
 
+@pytest.mark.slow
 def test_loop_gicp_method_compiles():
     """loop_icp_method='gicp' must compile and no-op safely with no candidates."""
     cfg = dataclasses.replace(TEST_CONFIG, loop_icp_method="gicp")

@@ -111,6 +111,7 @@ def test_compact_keyframe_store_unit():
     assert (n - n2) >= (n - half) // 2 - 1
 
 
+@pytest.mark.slow
 def test_eviction_no_loop_long_run():
     """>2x capacity straight drive with loops off: the store compacts instead
     of freezing; the newest keyframe keeps tracking the robot."""

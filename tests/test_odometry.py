@@ -96,6 +96,7 @@ def test_odometry_tracks_trajectory(seq):
     assert ate < 0.1, f"odometry ATE {ate:.3f} m over {plen:.1f} m path"
 
 
+@pytest.mark.slow
 def test_odometry_no_imu(seq):
     cfg = dataclasses.replace(CFG, use_imu=False)
     est, _ = _run_odometry(seq, cfg)
@@ -232,6 +233,7 @@ def test_gravity_init_alignment_applied():
     assert g_rot[2] > 9.7
 
 
+@pytest.mark.slow
 def test_gravity_alignment_noop_on_level_ground(seq):
     """Pipeline: on a level synthetic world the frame-1 alignment must be a
     near-identity rotation (non-regression for the A11 wiring)."""

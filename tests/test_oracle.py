@@ -6,6 +6,8 @@ the deviation — the numbers PARITY.md cites."""
 import dataclasses
 import functools
 
+import pytest
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -18,6 +20,9 @@ from rgc_slam_tpu.ops import features as F
 from rgc_slam_tpu.types import FeatureCloud
 from rgc_slam_tpu.utils.evaluation import ate_rmse
 from rgc_slam_tpu.utils.oracle import reference_pick
+
+# full-tier only: both tests drive multi-hundred-scan sequences
+pytestmark = pytest.mark.slow
 
 CFG = TEST_CONFIG
 

@@ -1,5 +1,6 @@
 """Property-based invariants (hypothesis) for the math / hash foundations."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 from hypothesis import given, settings, strategies as st
 
@@ -62,6 +63,7 @@ def test_ypr_matrix_roundtrip(ypr):
                                atol=1e-4)
 
 
+@pytest.mark.slow
 @settings(max_examples=20, deadline=None)
 @given(seed=st.integers(0, 2**31 - 1), n=st.integers(1, 300),
        res=st.sampled_from([0.25, 0.5, 1.0, 2.0]))
@@ -98,6 +100,7 @@ def test_eigh3x3_reconstruction(seed):
     assert (np.diff(np.asarray(evals)) >= -1e-4).all(), "ascending order"
 
 
+@pytest.mark.slow
 @settings(max_examples=15, deadline=None)
 @given(seed=st.integers(0, 10_000))
 def test_preintegration_cov_psd_and_mean_parity(seed):
@@ -128,6 +131,7 @@ def test_preintegration_cov_psd_and_mean_parity(seed):
     assert np.isfinite(np.asarray(full.jac)).all()
 
 
+@pytest.mark.slow
 @settings(max_examples=10, deadline=None)
 @given(seed=st.integers(0, 10_000))
 def test_pgo_pin_and_chain_consistency(seed):

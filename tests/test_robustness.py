@@ -11,6 +11,7 @@ classic failure, see ops/covariance.eigh3x3's floor note).
 import functools
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -21,6 +22,10 @@ from rgc_slam_tpu.models.slam import SlamState, slam_step
 from rgc_slam_tpu.types import ImuBatch
 
 CFG = TEST_CONFIG
+
+# full-tier only: every test here drives the full engine for dozens of
+# scans (50-143 s each on the 1-core host)
+pytestmark = pytest.mark.slow
 
 
 def _finite_state(state) -> bool:

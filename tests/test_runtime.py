@@ -49,6 +49,7 @@ def test_reader_without_prefetch(tmp_path, seq):
     assert all(s["xyz"].shape == (2048, 3) for s in scans)
 
 
+@pytest.mark.slow
 def test_feeds_pipeline(tmp_path, seq):
     """Sweep-log scans must convert into engine inputs and run a SLAM step."""
     import functools

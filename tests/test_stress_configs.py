@@ -123,6 +123,7 @@ def _corridor_run(cfg):
     return ate_rmse(np.stack(est), gt)
 
 
+@pytest.mark.slow
 def test_corridor_full_slam_survives():
     """Full SLAM must stay bounded in the degenerate corridor — under the
     REFERENCE's loss semantics (Ceres HuberLoss(0.1), frozen-weight
@@ -141,6 +142,7 @@ def test_corridor_full_slam_survives():
     assert ate < 0.86, f"corridor full-SLAM ATE {ate:.3f}"
 
 
+@pytest.mark.slow
 def test_corridor_l1_loss_rescues():
     """cfg.mapping_loss="l1" (documented deviation): the L1 M-estimator's
     harder outlier suppression keeps the same corridor at ~0.20 m."""
@@ -149,6 +151,7 @@ def test_corridor_l1_loss_rescues():
     assert ate < 0.26, f"corridor L1 ATE {ate:.3f}"
 
 
+@pytest.mark.slow
 def test_32beam_pipeline():
     """32-beam sensor support (scanRegistration.cpp:154-162 analog)."""
     cfg = dataclasses.replace(TEST_CONFIG, n_scans=32)
@@ -172,6 +175,7 @@ def test_32beam_pipeline():
     assert ate < 0.25, f"32-beam ATE {ate:.3f}"
 
 
+@pytest.mark.slow
 def test_ground_change_machine_on_ramp():
     """Driving from flat ground onto a ramp must trip the ground-change state
     machine (gflag cooldown, RGC_odometer.cpp:1034-1085) and keep tracking."""

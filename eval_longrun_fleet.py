@@ -91,7 +91,6 @@ def main():
     est = np.zeros((n, B, 3), np.float32)
     compactions = np.zeros(B, np.int64)
     saturated_at = np.full(B, -1, np.int64)
-    kf_added_after_sat = np.zeros(B, np.int64)
     last_accept = np.full(B, -1, np.int64)
     t0 = time.perf_counter()
     for k in range(n):

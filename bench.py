@@ -61,7 +61,7 @@ def _emit_error(kind: str, detail: str, **extra) -> None:
 
 
 def _probe_backend(attempts: int = 3, backoff_s: float = 60.0,
-                   probe_timeout_s: float = 180.0) -> None:
+                   probe_timeout_s: float = 180.0) -> tuple[bool, str]:
     """Bounded backend-availability probe BEFORE any in-process device op.
 
     The observed failure modes of the tunnel backend are (a) immediate
@@ -69,10 +69,11 @@ def _probe_backend(attempts: int = 3, backoff_s: float = 60.0,
     for minutes — so the probe runs in a subprocess with a hard timeout (a
     hung in-process init cannot be interrupted, and jax caches a failed
     backend for the life of the process, which would defeat in-process
-    retries).  3 attempts, 60 s backoff; terminal failure emits the
-    backend_unavailable JSON line instead of a stack trace."""
+    retries).  3 attempts, 60 s backoff.  Returns (ok, last_error); the
+    caller decides between the CPU-fallback measurement and the
+    backend_unavailable JSON line."""
     if os.environ.get("RGC_BENCH_SKIP_PROBE", "") == "1":
-        return
+        return True, ""
     code = ("import jax; d = jax.devices()[0]; "
             "import jax.numpy as jnp; "
             "jax.block_until_ready(jax.device_put(jnp.zeros(8))); "
@@ -87,7 +88,7 @@ def _probe_backend(attempts: int = 3, backoff_s: float = 60.0,
             if r.returncode == 0:
                 _note(f"backend probe ok (attempt {attempt}): "
                       f"{r.stdout.strip()}")
-                return
+                return True, ""
             tail = (r.stderr or "").strip().splitlines()
             last = tail[-1] if tail else f"rc={r.returncode}"
         except subprocess.TimeoutExpired:
@@ -95,7 +96,7 @@ def _probe_backend(attempts: int = 3, backoff_s: float = 60.0,
         _note(f"backend probe attempt {attempt}/{attempts} failed: {last}")
         if attempt < attempts:
             time.sleep(backoff_s)
-    _emit_error("backend_unavailable", last, probe_attempts=attempts)
+    return False, last
 
 import jax
 import jax.numpy as jnp
@@ -243,13 +244,33 @@ def _single_stream(seq, n_scans: int, serialized: bool = False):
 def main():
     from rgc_slam_tpu.parallel import fleet
 
-    _probe_backend()
+    ok, probe_err = _probe_backend()
+    cpu_fallback = False
+    B, n_reps, chunk = FLEET_B, N_REPS, CHUNK
+    n_timed_req, skip_single, skip_loops = N_TIMED, SKIP_SINGLE, SKIP_LOOPS
+    if not ok:
+        if os.environ.get("RGC_BENCH_NO_CPU_FALLBACK", "") == "1":
+            _emit_error("backend_unavailable", probe_err, probe_attempts=3)
+        # TPU tunnel terminally unavailable -> measure the SAME pipeline on
+        # the host CPU at a bounded size instead of emitting no number at
+        # all (round 3's artifact was an error line; an explicitly-labeled
+        # platform=cpu_fallback figure is strictly more evidence).  The
+        # reference baseline is itself a 10 Hz single-host CPU system
+        # (RGC_odometer.cpp:1360-1361), so vs_baseline stays CPU-vs-CPU
+        # meaningful; it is NOT a TPU number and the JSON says so.
+        _note(f"TPU backend unavailable ({probe_err}); running CPU fallback")
+        jax.config.update("jax_platforms", "cpu")
+        cpu_fallback = True
+        B = min(B, 8)
+        n_timed_req = min(n_timed_req, 8)
+        n_reps = 2
+        chunk = 1            # unrolled-chunk compiles are minutes on 1 CPU core
+        skip_single = skip_loops = True
     cfg = FLEET_CONFIG
-    B = FLEET_B
     _note(f"staging inputs (B={B})")
-    inputs, seq0 = _stage_inputs(cfg, B, N_WARMUP + N_TIMED + 2)
+    inputs, seq0 = _stage_inputs(cfg, B, N_WARMUP + n_timed_req + 2)
     n_scans = len(inputs)
-    n_timed = min(N_TIMED, n_scans - N_WARMUP)
+    n_timed = min(n_timed_req, n_scans - N_WARMUP)
 
     _note("inputs staged; compiling fleet step")
     states = fleet.fleet_init(cfg, B)
@@ -260,17 +281,17 @@ def main():
     flops_step = _flops_per_call(fstep.lower(states, *inputs[0]).compile())
     _note("fleet step compiled")
 
-    if CHUNK > 1:
+    if chunk > 1:
         from rgc_slam_tpu.models.slam import make_chunk_step
 
         cstep = make_chunk_step(
-            functools.partial(fleet.fleet_step_compacting, cfg=cfg), CHUNK
+            functools.partial(fleet.fleet_step_compacting, cfg=cfg), chunk
         )
-        n_timed = (n_timed // CHUNK) * CHUNK
+        n_timed = (n_timed // chunk) * chunk
 
         def run_window(states):
-            for k in range(N_WARMUP, N_WARMUP + n_timed, CHUNK):
-                flat = [x for j in range(CHUNK) for x in inputs[k + j]]
+            for k in range(N_WARMUP, N_WARMUP + n_timed, chunk):
+                flat = [x for j in range(chunk) for x in inputs[k + j]]
                 states, outs = cstep(states, *flat)
                 _sync(states)
             return states
@@ -300,7 +321,7 @@ def main():
             jax.block_until_ready(x)
 
     # per-dispatch (real-time loop) rate; eviction is inside the step
-    n_reps = max(2, N_REPS - 2) if serialized else N_REPS
+    n_reps = max(2, n_reps - 2) if serialized else n_reps
     rates = []
     for _ in range(n_reps):
         t0 = time.perf_counter()
@@ -313,7 +334,7 @@ def main():
     _note(f"per-dispatch done: {per_dispatch:.0f} scans/sec")
 
     scans_per_sec = per_dispatch
-    if CHUNK > 1:
+    if chunk > 1:
         _note("chunk compile")
         states = run_window(states)          # compile outside the timed reps
         jax.block_until_ready(states)
@@ -330,7 +351,7 @@ def main():
     # vmapped loop closure + PGO dispatched every cfg.loop_cadence scans,
     # exactly like run.py --fleet; its cost is inside the timed window ----
     with_loops = None
-    if not SKIP_LOOPS:
+    if not skip_loops:
         _note("compiling loop step")
         states_l = fleet.fleet_init(cfg, B)
         loop_states = fleet.fleet_loop_init(cfg, B)
@@ -361,7 +382,7 @@ def main():
         _note(f"with-loops done: {with_loops:.0f} scans/sec")
 
     _note("single-stream")
-    single_ms = None if SKIP_SINGLE else _single_stream(seq0, n_scans, serialized)
+    single_ms = None if skip_single else _single_stream(seq0, n_scans, serialized)
 
     dev = jax.devices()[0].device_kind
     achieved = flops_step * (scans_per_sec / B) if flops_step else None
@@ -374,11 +395,21 @@ def main():
                 "metric": (
                     f"registered scans/sec/chip (16-ch full SLAM steps, "
                     f"{B}-robot vmap fleet, distinct per-robot inputs, "
-                    f"median of {N_REPS}, {CHUNK}-scan dispatch chunks)"
+                    f"median of {n_reps}, {chunk}-scan dispatch chunks)"
                 ),
                 "value": round(scans_per_sec, 2),
                 "unit": "scans/sec",
                 "vs_baseline": round(scans_per_sec / 10.0, 2),
+                "platform": "cpu_fallback" if cpu_fallback else "tpu",
+                **(
+                    {"platform_note": (
+                        "TPU tunnel unavailable after bounded retries "
+                        f"({probe_err}); this is a bounded host-CPU run of "
+                        "the same pipeline, NOT a TPU figure. The 10 Hz "
+                        "baseline is the reference's own CPU number."
+                    )}
+                    if cpu_fallback else {}
+                ),
                 "per_dispatch_scans_per_sec": round(per_dispatch, 2),
                 "with_loops_scans_per_sec": (
                     round(with_loops, 2) if with_loops else None

@@ -501,7 +501,18 @@ def scan_to_map_solve(
             ])
             ro = other_residuals(delta)
             if cfg.mapping_loss == "l1":
-                rho = 0.1 * jnp.sqrt(jnp.maximum(s_lidar, 1e-30))
+                # the l1 weights only deviate from plain LS OUTSIDE the
+                # |r|<=delta band (_huber_weight), so the objective the
+                # weighted GN direction actually descends is piecewise
+                # s / delta*sqrt(s) (continuous at s=delta^2) — the accept
+                # test must measure THAT cost, not delta*sqrt(s) everywhere,
+                # or inlier-dominated trust-region ratios compare an L1
+                # true-decrease against a quadratic model prediction
+                rho = jnp.where(
+                    s_lidar <= 0.01,
+                    s_lidar,
+                    0.1 * jnp.sqrt(jnp.maximum(s_lidar, 1e-30)),
+                )
             else:
                 rho = fac.huber_rho(s_lidar)
             return 0.5 * (jnp.sum(rho) + jnp.sum(ro * ro))

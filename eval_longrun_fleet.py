@@ -85,6 +85,14 @@ def main():
 
     fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
     floop = jax.jit(functools.partial(fleet.fleet_loop_step, cfg=cfg))
+
+    # Tunnel rule (CLAUDE.md): np.asarray on a LEAF of the big step-output
+    # tuple drags the WHOLE tuple through the tunnel (~1 s/scan at fleet
+    # sizes).  Route every host fetch through a dedicated tiny-output jit
+    # program instead (~30 ms): the +0 forces fresh small output buffers.
+    @jax.jit
+    def _fetch(*xs):
+        return tuple(x + 0 for x in xs)
     states = fleet.fleet_init(cfg, B)
     lstates = fleet.fleet_loop_init(cfg, B)
 
@@ -92,6 +100,7 @@ def main():
     compactions = np.zeros(B, np.int64)
     saturated_at = np.full(B, -1, np.int64)
     last_accept = np.full(B, -1, np.int64)
+    loops_total = 0
     t0 = time.perf_counter()
     for k in range(n):
         clouds, imus, stamps = [], [], []
@@ -107,20 +116,22 @@ def main():
         sb = jnp.tile(jnp.asarray(stamps, jnp.float32), reps)[:B]
 
         states, outs = fstep(states, cb, ib, sb)
-        est[k] = np.asarray(outs.t_map)
+        t_h, kf_now = (np.asarray(x) for x in
+                       _fetch(outs.t_map, states.mapping.kf_count))
+        est[k] = t_h
         if (k + 1) % LOOP_EVERY == 0:
-            kf_before = np.asarray(states.mapping.kf_count)
+            kf_before = kf_now
             states, lstates, info = floop(states, lstates)
-            kf_after = np.asarray(states.mapping.kf_count)
-            compactions += kf_after < kf_before
-            acc_mask = np.asarray(info.accepted)
-            last_accept = np.where(acc_mask, k, last_accept)
-        kf_now = np.asarray(states.mapping.kf_count)
+            kf_now, acc_mask, loops_dev = (np.asarray(x) for x in _fetch(
+                states.mapping.kf_count, info.accepted, lstates.loop_count))
+            compactions += kf_now < kf_before
+            last_accept = np.where(acc_mask.astype(bool), k, last_accept)
+            loops_total = int(loops_dev.sum())
         newly_sat = (saturated_at < 0) & (kf_now >= cfg.max_keyframes - 20)
         saturated_at = np.where(newly_sat, k, saturated_at)
         if (k + 1) % 250 == 0:
             print(f"  scan {k+1}/{n}: kf[min..max]={kf_now.min()}..{kf_now.max()} "
-                  f"loops_total={int(np.asarray(lstates.loop_count).sum())} "
+                  f"loops_total={loops_total} "
                   f"compactions[min..max]={compactions.min()}..{compactions.max()} "
                   f"({time.perf_counter()-t0:.0f}s)", flush=True)
     wall = time.perf_counter() - t0
@@ -135,7 +146,7 @@ def main():
             quarters[b, i] = ate_rmse(est[sl, b], gt[sl])
         full_ate[b] = ate_rmse(est[:, b], gt)
 
-    loops_per_robot = np.asarray(lstates.loop_count)
+    loops_per_robot = np.asarray(_fetch(lstates.loop_count)[0])
     result = {
         "robots": B,
         "n_scans": n,

@@ -26,7 +26,12 @@ def _structured_cloud(rng, n=2000):
 
 
 @pytest.fixture(scope="module")
-def cloud_pair(rng):
+def cloud_pair():
+    # Module-local fixed-seed generator (NOT the function-scoped shared `rng`
+    # fixture — a module-scoped fixture may not consume it, and the draws must
+    # not depend on test order anyway; same pattern as
+    # test_cov_regularization_modes below).
+    rng = np.random.default_rng(42)
     src = _structured_cloud(rng)
     q_gt = np.asarray(m3.ypr_to_quat(jnp.array([0.05, 0.02, -0.03])))
     t_gt = np.array([0.3, -0.2, 0.1], np.float32)

@@ -313,6 +313,7 @@ def main():
     jax.block_until_ready(states)
     queued_ms = (time.perf_counter() - t0) * 1e3 / 2
     serialized = FORCE_SERIALIZED or queued_ms > 50.0
+    loadavg = os.getloadavg()
     _note(f"probe: queued dispatch {queued_ms:.1f} ms/step -> "
           f"{'SERIALIZED fallback' if serialized else 'pipelined'} mode")
 
@@ -348,38 +349,48 @@ def main():
         _note(f"chunked done: {scans_per_sec:.0f} scans/sec")
 
     # ---- full SLAM including the pose-graph thread (VERDICT r2 item 2):
-    # vmapped loop closure + PGO dispatched every cfg.loop_cadence scans,
-    # exactly like run.py --fleet; its cost is inside the timed window ----
+    # vmapped loop closure + PGO + loop-aware compaction, cadence-gated
+    # INSIDE the step program (fleet.fleet_loop_fused_step: top-level
+    # lax.cond, counter on device) and chunk-amortized exactly like the
+    # headline (VERDICT r4 item 3 — the deployment mode must ride the same
+    # dispatch amortization; round 4 ran this path per-dispatch and paid a
+    # 3.8x gap that was almost entirely un-amortized dispatch) ----
     with_loops = None
     if not skip_loops:
-        _note("compiling loop step")
+        _note("compiling fused loop step")
         states_l = fleet.fleet_init(cfg, B)
         loop_states = fleet.fleet_loop_init(cfg, B)
-        # loop fleets must NOT use fleet_step_compacting: compact_fleet
-        # relabels keyframe slots without remapping the loop store — the
-        # loop-aware compaction inside fleet_loop_step handles eviction
-        # here, exactly like run.py --fleet with loops enabled
-        fstep_l = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
-        floop = jax.jit(functools.partial(fleet.fleet_loop_step, cfg=cfg))
+        counter = jnp.asarray(0, jnp.int32)
+        lchunk = max(chunk, 1)
+        cstep_l = fleet.make_fleet_chunk_step(cfg, lchunk)
+        n_timed_l = (n_timed // lchunk) * lchunk
+
+        def run_loop_window(states_l, loop_states, counter):
+            for k in range(N_WARMUP, N_WARMUP + n_timed_l, lchunk):
+                flat = [x for j in range(lchunk) for x in inputs[k + j]]
+                states_l, loop_states, counter, _ = cstep_l(
+                    states_l, loop_states, counter, *flat
+                )
+                _sync(states_l)
+            return states_l, loop_states, counter
+
         for k in range(N_WARMUP):
-            states_l, _ = fstep_l(states_l, *inputs[k])
-        states_l, loop_states, _ = floop(states_l, loop_states)
+            flat = [x for _ in range(lchunk) for x in inputs[k]]
+            states_l, loop_states, counter, _ = cstep_l(
+                states_l, loop_states, counter, *flat
+            )
         jax.block_until_ready((states_l, loop_states))
         rates = []
-        done = 0
         for _ in range(n_reps):
             t0 = time.perf_counter()
-            for k in range(N_WARMUP, N_WARMUP + n_timed):
-                states_l, _ = fstep_l(states_l, *inputs[k])
-                _sync(states_l)
-                done += 1
-                if done % cfg.loop_cadence == 0:
-                    states_l, loop_states, _ = floop(states_l, loop_states)
-                    _sync(states_l)
+            states_l, loop_states, counter = run_loop_window(
+                states_l, loop_states, counter
+            )
             jax.block_until_ready(states_l)
-            rates.append(n_timed * B / (time.perf_counter() - t0))
+            rates.append(n_timed_l * B / (time.perf_counter() - t0))
         with_loops = statistics.median(rates)
-        _note(f"with-loops done: {with_loops:.0f} scans/sec")
+        _note(f"with-loops (fused, {lchunk}-scan chunks) done: "
+              f"{with_loops:.0f} scans/sec")
 
     _note("single-stream")
     single_ms = None if skip_single else _single_stream(seq0, n_scans, serialized)
@@ -416,6 +427,12 @@ def main():
                 ),
                 "single_stream_ms_per_scan": round(single_ms, 4) if single_ms else None,
                 "dispatch_mode": "serialized" if serialized else "pipelined",
+                # variance diagnostics (VERDICT r4 item 7): the dispatch-bound
+                # figures swing ~2x with transport/host load; these make a
+                # future spread attributable from the artifact alone
+                "dispatch_probe_ms_per_step": round(queued_ms, 3),
+                "serialized_threshold_ms": 50.0,
+                "host_loadavg_1_5_15": [round(x, 2) for x in loadavg],
                 "fleet_step_gflops": round(flops_step / 1e9, 3) if flops_step else None,
                 "achieved_tflops_per_sec": round(achieved / 1e12, 3) if achieved else None,
                 "mfu_pct_vs_bf16_peak": round(mfu, 3) if mfu else None,

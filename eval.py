@@ -86,6 +86,7 @@ def run_sequence(cfg, seq, loop_every=0):
     # accepts at < 0.1, RGC_mapping.cpp:156,2071; see EVAL.md note)
     acc_fit = [float(f) for a, f in loop_infos if bool(a)]
     return {
+        "mapping_loss": cfg.mapping_loss,
         "loop_fitness_accepted_max": round(max(acc_fit), 4) if acc_fit else None,
         "loop_fitness_accepted_med": (
             round(float(np.median(acc_fit)), 4) if acc_fit else None
@@ -124,6 +125,7 @@ def main():
         "1p": ["1p_preint_imu_cov"],
         "2": ["2_full_slam_loop"],
         "3": ["3_degraded_corridor"],
+        "3l1": ["3l1_degraded_corridor_l1"],
         "4": ["4_synth64_lidar_only"],
         "5_fleet": ["5_fleet_64"],
         "5b": ["5b_fleet_full_slam_distinct"],
@@ -203,7 +205,7 @@ def main():
     # 180 deg in place (72 deg/s — the rotation-damping stress), and comes
     # back: 100 m path, and the turn makes raw odometry drift that the
     # mapping stage must absorb (measured: ate_odom ~3.2 m, ate_map ~0.22).
-    if want("3"):
+    if want("3") or want("3l1"):
         note("config 3: degraded corridor")
         world3 = synthetic.corridor_world(length=70.0, width=8.0,
                                           alcove_spacing=24.0)
@@ -236,7 +238,18 @@ def main():
             "stamps": [0.1 * (k + 1) for k in range(n3)],
             "poses": poses3,
         }
-        results["3_degraded_corridor"] = run_sequence(BASE, seq3)
+        if want("3"):
+            results["3_degraded_corridor"] = run_sequence(BASE, seq3)
+
+        # ---- config 3l1: the same corridor under mapping_loss="l1"
+        # (VERDICT r4 item 8): the documented parity-vs-performance loss
+        # tradeoff (stop-gradient Huber = Ceres-corrector parity vs the
+        # autodiff L1 M-estimator, PARITY.md) measured on the results
+        # table's own scene rather than only in a test docstring ----
+        if want("3l1"):
+            note("config 3l1: degraded corridor, mapping_loss=l1")
+            cfg3l1 = dataclasses.replace(BASE, mapping_loss="l1")
+            results["3l1_degraded_corridor_l1"] = run_sequence(cfg3l1, seq3)
 
     # ---- config 4: 64-beam lidar-only on a synthetic world (the KITTI
     # stress PROFILE — named honestly: no real KITTI data exists in this
@@ -284,10 +297,10 @@ def main():
         results["5_fleet_64"] = {
             "robots": B,
             "cross_robot_spread_m": float(np.abs(tm - tm[:1]).max()),
-            "note": "throughput measured by bench.py (quiet-host capture "
-                    "2026-08-17: 246k/s per-dispatch, 452k/s chunked, "
-                    "252k/s incl. loop closure; r2 driver capture "
-                    "329k/502k in BENCH_r02.json; idle-tunnel best ~1.34M)",
+            "note": "throughput measured by bench.py (number of record: "
+                    "latest driver capture, BENCH_r05.json else "
+                    "BENCH_r04.json 634k chunked / 195k per-dispatch / "
+                    "168k with-loops; idle-tunnel best ~1.34M)",
         }
 
     # ---- config 5b: fleet FULL SLAM on DISTINCT closed courses — loop
@@ -375,18 +388,19 @@ def main():
         "cfg.loop_cadence=10 scans — the reference's 1 Hz thread — where "
         "enabled).  ATE/RPE after SE(3) alignment (evo convention).",
         "",
-        "| Config | scans | path (m) | ATE map (m) | ATE odom (m) | RPE (m) | loops |",
-        "|---|---|---|---|---|---|---|",
+        "| Config | scans | path (m) | loss | ATE map (m) | ATE odom (m) | RPE (m) | loops |",
+        "|---|---|---|---|---|---|---|---|",
     ]
     for name in ("1_full_pipeline_no_loop", "1p_preint_imu_cov",
                  "2_full_slam_loop", "3_degraded_corridor",
-                 "4_synth64_lidar_only"):
+                 "3l1_degraded_corridor_l1", "4_synth64_lidar_only"):
         r = results.get(name)
         if r is None:          # --only rerun over a stale results file
-            lines.append(f"| {name} | — | — | — | — | — | — |")
+            lines.append(f"| {name} | — | — | — | — | — | — | — |")
             continue
         lines.append(
-            f"| {name} | {r['n_scans']} | {r['path_m']} | {r['ate_map_m']} | "
+            f"| {name} | {r['n_scans']} | {r['path_m']} | "
+            f"{r.get('mapping_loss', 'huber')} | {r['ate_map_m']} | "
             f"{r['ate_odom_m']} | {r['rpe_map_m']} | {r['n_loops']} |"
         )
     r5 = results.get("5_fleet_64", {"robots": "?", "cross_robot_spread_m": float("nan")})
@@ -395,9 +409,13 @@ def main():
         "",
         f"Fleet (config 5): {r5['robots']} robots per chip, cross-robot result "
         f"spread {r5['cross_robot_spread_m']:.2e} m (identical inputs ⇒ ~0); "
-        "chip throughput is bench.py's metric — driver-captured 329k "
-        "scans/sec/chip per-dispatch / 502k chunked (BENCH_r02.json, the "
-        "reproducible figures); quiet-host best case ~400k / ~1.34M.",
+        "chip throughput is bench.py's metric — the number of record is the "
+        "latest driver capture (BENCH_r05.json, else BENCH_r04.json: 634k "
+        "scans/sec/chip chunked / 195k per-dispatch / 168k with loops+PGO). "
+        "Manual same-build captures (565k/356k/234k and 784k/380k/329k, "
+        "BENCH_manual_20260818.json) bracket the tunnel-load variance — ~2x "
+        "on the dispatch-bound figures; the bench JSON now carries its "
+        "dispatch-probe latency and host loadavg so spreads are attributable.",
         ""]
     r5b = results.get("5b_fleet_full_slam_distinct")
     if r5b:
@@ -434,6 +452,15 @@ def main():
         "DIRECT1/PLANE-regularized VGICP degenerates the same way).  The "
         "turn makes raw odometry drift that the mapping stage absorbs "
         "(ate_odom vs ate_map in the table).",
+        "",
+        "Loss-mode note: the `loss` column is cfg.mapping_loss — \"huber\" "
+        "is the parity default (Ceres-corrector semantics via stop-gradient "
+        "IRLS weights, enforced by the stage-6 oracle); \"l1\" is the "
+        "autodiff M-estimator kept as a deliberate option because it is "
+        "stronger in degenerate corridors (PARITY.md).  Config 3 runs under "
+        "BOTH so the measured tradeoff is visible in this table, not only "
+        "in a test docstring (tests/test_stress_configs.py measured 0.66 "
+        "huber vs 0.20 l1 on its own harsher scene).",
     ]
     auto = "\n".join(lines) + "\n"
     # preserve manually maintained sections below the marker

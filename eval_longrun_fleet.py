@@ -92,7 +92,9 @@ def main():
     # program instead (~30 ms): the +0 forces fresh small output buffers.
     @jax.jit
     def _fetch(*xs):
-        return tuple(x + 0 for x in xs)
+        # `x + 0` would silently promote bool leaves to int32 (advisor r4);
+        # cast back so callers get the dtype they stored.
+        return tuple((x + 0).astype(x.dtype) for x in xs)
     states = fleet.fleet_init(cfg, B)
     lstates = fleet.fleet_loop_init(cfg, B)
 
@@ -125,7 +127,7 @@ def main():
             kf_now, acc_mask, loops_dev = (np.asarray(x) for x in _fetch(
                 states.mapping.kf_count, info.accepted, lstates.loop_count))
             compactions += kf_now < kf_before
-            last_accept = np.where(acc_mask.astype(bool), k, last_accept)
+            last_accept = np.where(acc_mask, k, last_accept)
             loops_total = int(loops_dev.sum())
         newly_sat = (saturated_at < 0) & (kf_now >= cfg.max_keyframes - 20)
         saturated_at = np.where(newly_sat, k, saturated_at)

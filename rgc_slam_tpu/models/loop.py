@@ -47,6 +47,7 @@ class LoopState:
     loop_yaw: jax.Array       # [L] relative yaw of T_loop_correct
     loop_pitch_j: jax.Array   # [L] loop keyframe pitch at detection
     loop_roll_j: jax.Array    # [L]
+    loop_stamp: jax.Array     # [L] accept-order stamp (eviction age)
     loop_count: jax.Array     # []
     last_loop_travel: jax.Array   # [] lastLoopDistance
     distance_by_loop: jax.Array   # [] DistanceByLoop
@@ -64,6 +65,7 @@ class LoopState:
             loop_yaw=jnp.zeros((L,), dtype),
             loop_pitch_j=jnp.zeros((L,), dtype),
             loop_roll_j=jnp.zeros((L,), dtype),
+            loop_stamp=jnp.zeros((L,), jnp.int32),
             loop_count=jnp.asarray(0, jnp.int32),
             last_loop_travel=jnp.asarray(-1000.0, dtype),
             distance_by_loop=jnp.asarray(0.0, dtype),
@@ -79,6 +81,29 @@ class LoopInfo(NamedTuple):
     candidate: jax.Array
     fitness: jax.Array
     pgo_ran: jax.Array
+
+
+def choose_loop_slot(ls: LoopState) -> jax.Array:
+    """Pick the loop-store slot the next accepted constraint is written to.
+
+    The reference keeps every accepted loop forever (unbounded
+    loopInfoContainer, RGC_mapping.cpp:2084-2138,2372-2400); a static-shape
+    store must evict.  Policy (PARITY.md §loop-store): fill empty slots first
+    (compaction frees slots by masking dead constraints to -1), then evict the
+    OLDEST accepted loop by stamp — but never the slot holding the current PGO
+    gauge anchor (the constraint with the smallest history keyframe,
+    _pgo_solve's `pinned`), so the global frame's anchor can't silently jump
+    to a newer keyframe once the store wraps."""
+    L = ls.loop_i.shape[0]
+    slot_idx = jnp.arange(L)
+    slot_used = ls.loop_i >= 0
+    big = jnp.asarray(2**30, jnp.int32)
+    anchor_slot = jnp.argmin(jnp.where(slot_used, ls.loop_j, big))
+    first_empty = jnp.argmin(jnp.where(~slot_used, slot_idx, L))
+    evict = jnp.argmin(
+        jnp.where((slot_idx != anchor_slot) | ~jnp.any(slot_used), ls.loop_stamp, big)
+    )
+    return jnp.where(jnp.any(~slot_used), first_empty, evict)
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +333,7 @@ def loop_closure_step(state: SlamState, loop_state: LoopState, cfg: SlamConfig):
     ypr_rel = m3.quat_to_ypr(q_rel)
     ypr_loop = m3.quat_to_ypr(q_loop)
 
-    wi = jnp.mod(ls.loop_count, L)
+    wi = choose_loop_slot(ls)
     ls = ls.replace(
         loop_i=jnp.where(accepted, ls.loop_i.at[wi].set(latest), ls.loop_i),
         loop_j=jnp.where(accepted, ls.loop_j.at[wi].set(cand), ls.loop_j),
@@ -319,6 +344,9 @@ def loop_closure_step(state: SlamState, loop_state: LoopState, cfg: SlamConfig):
         ),
         loop_roll_j=jnp.where(
             accepted, ls.loop_roll_j.at[wi].set(ypr_loop[2]), ls.loop_roll_j
+        ),
+        loop_stamp=jnp.where(
+            accepted, ls.loop_stamp.at[wi].set(ls.loop_count + 1), ls.loop_stamp
         ),
         loop_count=jnp.where(accepted, ls.loop_count + 1, ls.loop_count),
     )

@@ -155,6 +155,67 @@ def fleet_loop_compact(states: SlamState, loop_states, cfg: SlamConfig):
     return new_states, new_ls
 
 
+def fleet_loop_fused_step(states: SlamState, loop_states, counter: jax.Array,
+                          clouds: PointCloud, imus: ImuBatch,
+                          stamps: jax.Array, cfg: SlamConfig):
+    """fleet_step + cadence-gated loop closure in ONE program.
+
+    The reference decouples the pose graph onto a 1 Hz thread so it never
+    serializes the odometry/mapping hot path (RGC_mapping.cpp:1964,303-304);
+    the TPU-native analog must not serialize the DISPATCH pipeline either —
+    a separate host-cadenced ``fleet_loop_step`` jit call costs one full
+    dispatch round-trip every ``cfg.loop_cadence`` scans and, worse, denies
+    the surrounding scans chunk amortization (round-4 bench: 168k with-loops
+    vs 634k chunked no-loops, almost all of it un-amortized dispatch).
+
+    Here the loop-closure + PGO + loop-aware compaction call sits behind a
+    TOP-LEVEL ``lax.cond`` (the ``fleet_step_compacting`` pattern: one branch
+    executes, and the vmapped loop program only runs on the scans where
+    ``counter`` crosses the cadence), so the whole thing chains under
+    ``make_fleet_chunk_step`` and the deployment mode rides the same
+    dispatch amortization as the loop-less headline.
+
+    ``counter`` is a traced int32 scalar (scan count BEFORE this step) so
+    cadence progress lives on device — no host round-trip, no recompiles.
+    """
+    states, outs = fleet_step(states, clouds, imus, stamps, cfg)
+    new_counter = counter + 1
+    run = jnp.mod(new_counter, cfg.loop_cadence) == 0
+
+    def do(args):
+        s, ls = args
+        s2, ls2, _info = fleet_loop_step(s, ls, cfg)
+        return s2, ls2
+
+    states, loop_states = jax.lax.cond(
+        run, do, lambda a: a, (states, loop_states)
+    )
+    return states, loop_states, new_counter, outs
+
+
+def make_fleet_chunk_step(cfg: SlamConfig, chunk: int):
+    """Compile a fleet program advancing ``chunk`` scans per dispatch WITH
+    loop closure folded in (see ``fleet_loop_fused_step``).  The returned
+    callable takes ``(states, loop_states, counter, *flat)`` where flat
+    interleaves chunk (clouds, imus, stamps) triples, and returns
+    ``(states, loop_states, counter, [outs] * chunk)``.  Loop dispatches fire
+    at exactly the same scan indices as the host-cadenced per-dispatch path
+    (``counter % cfg.loop_cadence == 0``), so when ``cfg.loop_cadence %
+    chunk == 0`` the two paths compute bit-identical trajectories
+    (test_fleet.test_fused_chunk_matches_per_dispatch)."""
+
+    def chunk_step(states, loop_states, counter, *flat):
+        outs = []
+        for i in range(chunk):
+            states, loop_states, counter, out = fleet_loop_fused_step(
+                states, loop_states, counter, *flat[3 * i:3 * i + 3], cfg
+            )
+            outs.append(out)
+        return states, loop_states, counter, outs
+
+    return jax.jit(chunk_step)
+
+
 def make_mesh(n_dp: int, n_sp: int) -> Mesh:
     devs = np.asarray(jax.devices()[: n_dp * n_sp]).reshape(n_dp, n_sp)
     return Mesh(devs, axis_names=("dp", "sp"))

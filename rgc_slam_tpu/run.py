@@ -198,34 +198,40 @@ def main(argv=None):
         # RGC_mapping.cpp:303-304,1962); its compaction is loop-aware, so
         # the loop path must NOT also run fleet.compact_fleet
         run_loops = cfg.loop_closure_enable and cfg.map_update
-        if run_loops and C > COMPACT_MARGIN:
-            # loop-aware eviction runs between dispatches, so a chunk must
-            # fit in the capacity headroom (loop-less fleets compact inside
-            # the step itself and have no such bound)
-            raise SystemExit(
-                f"--chunk {C} with --fleet loop closure exceeds the "
-                f"keyframe-eviction headroom (COMPACT_MARGIN={COMPACT_MARGIN})"
-            )
         states = fleet.fleet_init(cfg, B)
-        # loop-less fleets compact ON DEVICE inside the step (top-level
-        # lax.cond — no host round-trips, no staleness; see
-        # fleet.fleet_step_compacting); loop fleets compact loop-aware
-        step_fn = (fleet.fleet_step if run_loops
-                   else fleet.fleet_step_compacting)
-        fstep = jax.jit(functools.partial(step_fn, cfg=cfg))
         if run_loops:
+            # loop closure + PGO + loop-aware compaction are cadence-gated
+            # INSIDE the step program (fleet.fleet_loop_fused_step: top-level
+            # lax.cond, counter on device) and chunked with it — one program,
+            # full dispatch amortization, no host-gated eviction backstop.
+            # Compaction opportunities come every loop_cadence scans
+            # regardless of chunk size, so the headroom bound is on the
+            # cadence, not the chunk.
+            if cfg.loop_cadence > COMPACT_MARGIN:
+                raise SystemExit(
+                    f"loop_cadence {cfg.loop_cadence} exceeds the "
+                    f"keyframe-eviction headroom "
+                    f"(COMPACT_MARGIN={COMPACT_MARGIN})"
+                )
             loop_states = fleet.fleet_loop_init(cfg, B)
-            floop = jax.jit(functools.partial(fleet.fleet_loop_step, cfg=cfg))
-            fcompact_loop = jax.jit(
-                functools.partial(fleet.fleet_loop_compact, cfg=cfg)
+            counter = jnp.asarray(0, jnp.int32)
+            fchunk_l = fleet.make_fleet_chunk_step(cfg, C)
+            # trailing-partial-chunk program (compiled lazily on first use)
+            fstep1_l = fchunk_l if C == 1 else None
+        else:
+            # loop-less fleets compact ON DEVICE inside the step (top-level
+            # lax.cond — no host round-trips, no staleness; see
+            # fleet.fleet_step_compacting)
+            fstep = jax.jit(
+                functools.partial(fleet.fleet_step_compacting, cfg=cfg)
             )
-        if C > 1:
-            # chunked dispatch (bench.py's 3-5x lever) for the fleet too
-            from .models.slam import make_chunk_step
+            if C > 1:
+                # chunked dispatch (bench.py's 3-5x lever) for the fleet too
+                from .models.slam import make_chunk_step
 
-            fchunk = make_chunk_step(
-                functools.partial(step_fn, cfg=cfg), C
-            )
+                fchunk = make_chunk_step(
+                    functools.partial(fleet.fleet_step_compacting, cfg=cfg), C
+                )
         metrics = Metrics()
         # summarize fitness into two dedicated scalars: np.asarray on a leaf
         # of the big step output would drag the whole tuple device->host
@@ -245,42 +251,22 @@ def main(argv=None):
             )
             return (b[0], b[1], stamps)
 
-        # loop-path eviction stride: consecutive backstop checks must stay
-        # within COMPACT_MARGIN scans even when a chunk delays the boundary
-        # by up to C-1 scans (ADVICE r2) — stride + C - 1 < COMPACT_MARGIN
-        comp_stride = max(COMPACT_MARGIN - C, 1)
-        lc = cfg.loop_cadence
-
-        def maybe_housekeep(n_before, n_after):
-            nonlocal states, loop_states
-            if run_loops:
-                for _ in range(n_after // lc - n_before // lc):
-                    states, loop_states, _info = floop(states, loop_states)
-                # backstop: loop-aware eviction between loop dispatches
-                # (host-gated on the tiny kf_count fetch)
-                if (n_after // lc == n_before // lc
-                        and n_after // comp_stride != n_before // comp_stride):
-                    # dedicated tiny predicate buffer: fetching a leaf of the
-                    # big state tuple would drag the whole tuple through the
-                    # device->host path (seconds on remote-attached TPUs)
-                    K_cap = states.mapping.kf_q.shape[-2]
-                    if bool(np.asarray(
-                            fleet._near_capacity(states.mapping.kf_count, K_cap))):
-                        states, loop_states = fcompact_loop(states, loop_states)
-            # loop-less fleets need no housekeeping here: compaction is
-            # folded into the step program itself (fleet_step_compacting)
-
         for item in feed:
             buf.append(batch(item))
             if len(buf) < C:
                 continue
-            if C > 1:
+            if run_loops:
+                flat = [x for triple in buf for x in triple]
+                states, loop_states, counter, chunk_outs = fchunk_l(
+                    states, loop_states, counter, *flat
+                )
+                outs = chunk_outs[-1]
+            elif C > 1:
                 flat = [x for triple in buf for x in triple]
                 states, chunk_outs = fchunk(states, *flat)
                 outs = chunk_outs[-1]
             else:
                 states, outs = fstep(states, *buf[0])
-            maybe_housekeep(n, n + len(buf))
             n += len(buf)
             buf = []
             if n % 50 < C:
@@ -288,8 +274,15 @@ def main(argv=None):
                 print(f"  scan {n}: fleet fitness med={float(med):.4f} "
                       f"max={float(mx):.4f}")
         for triple in buf:                       # trailing partial chunk
-            states, outs = fstep(states, *triple)
-            maybe_housekeep(n, n + 1)
+            if run_loops:
+                if fstep1_l is None:
+                    fstep1_l = fleet.make_fleet_chunk_step(cfg, 1)
+                states, loop_states, counter, outs1 = fstep1_l(
+                    states, loop_states, counter, *triple
+                )
+                outs = outs1[-1]
+            else:
+                states, outs = fstep(states, *triple)
             n += 1
         if outs is None:
             print("fleet: no scans in the source (check topic names / file)")

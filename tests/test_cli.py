@@ -138,8 +138,10 @@ def test_cli_fleet_mode(tmp_path, monkeypatch):
 
 @pytest.mark.slow
 def test_cli_fleet_with_loops(tmp_path, monkeypatch):
-    """Fleet SLAM keeps the pose-graph thread: the vmapped loop step fires
-    on the cadence (scan 10 here) and the run completes (r3)."""
+    """Fleet SLAM keeps the pose-graph thread: loop closure is cadence-gated
+    INSIDE the fused chunked program (fires at scan 10 here, r5), and an odd
+    scan count over --chunk 2 also exercises the fused trailing-partial
+    dispatch."""
     from rgc_slam_tpu import run as cli
     import rgc_slam_tpu.io.synthetic as syn
 
@@ -151,7 +153,8 @@ def test_cli_fleet_with_loops(tmp_path, monkeypatch):
 
     monkeypatch.setattr(syn, "generate_sequence", small)
     out = tmp_path / "fl"
-    cli.main(["--synthetic", "12", "--out-dir", str(out), "--fleet", "2"])
+    cli.main(["--synthetic", "13", "--out-dir", str(out), "--fleet", "2",
+              "--chunk", "2"])
     poses = np.loadtxt(out / "fleet_final_poses.txt")
     assert poses.shape == (2, 3) and np.isfinite(poses).all()
 

@@ -290,6 +290,58 @@ def test_fleet_loop_closure_distinct_streams():
     )
 
 
+@pytest.mark.slow
+def test_fused_chunk_matches_per_dispatch():
+    """make_fleet_chunk_step (loop closure folded into the chunked program,
+    VERDICT r4 item 3) must fire loop dispatches at exactly the per-dispatch
+    scan indices and produce the same trajectory/loop state as the
+    fstep+floop host-cadenced path when loop_cadence % chunk == 0."""
+    from rgc_slam_tpu.models import loop as loop_mod
+
+    cfg = dataclasses.replace(
+        CFG, inline_compaction=False, loop_cadence=2, max_loops=4
+    )
+    B, n_steps, chunk = 2, 4, 2
+    steps = _inputs(B, n_steps=n_steps)[:n_steps]
+
+    # per-dispatch reference path
+    states_r = fleet.fleet_init(cfg, B)
+    ls_r = fleet.fleet_loop_init(cfg, B)
+    fstep = jax.jit(functools.partial(fleet.fleet_step, cfg=cfg))
+    floop = jax.jit(functools.partial(fleet.fleet_loop_step, cfg=cfg))
+    outs_r = []
+    for k, (cloud, imu, stamps) in enumerate(steps):
+        states_r, out = fstep(states_r, cloud, imu, stamps)
+        outs_r.append(np.asarray(out.t_map))
+        if (k + 1) % cfg.loop_cadence == 0:
+            states_r, ls_r, _ = floop(states_r, ls_r)
+
+    # fused chunked path
+    states_c = fleet.fleet_init(cfg, B)
+    ls_c = fleet.fleet_loop_init(cfg, B)
+    counter = jnp.asarray(0, jnp.int32)
+    cstep = fleet.make_fleet_chunk_step(cfg, chunk)
+    outs_c = []
+    for k0 in range(0, n_steps, chunk):
+        flat = [x for j in range(chunk) for x in steps[k0 + j]]
+        states_c, ls_c, counter, outs = cstep(states_c, ls_c, counter, *flat)
+        outs_c.extend(np.asarray(o.t_map) for o in outs)
+
+    assert int(counter) == n_steps
+    np.testing.assert_allclose(np.stack(outs_c), np.stack(outs_r), atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(ls_c.loop_count), np.asarray(ls_r.loop_count)
+    )
+    np.testing.assert_allclose(
+        np.asarray(states_c.mapping.kf_t), np.asarray(states_r.mapping.kf_t),
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(states_c.mapping.kf_count),
+        np.asarray(states_r.mapping.kf_count),
+    )
+
+
 def test_chunk_exceeding_margin_rejected():
     import pytest
     from rgc_slam_tpu.config import TEST_CONFIG

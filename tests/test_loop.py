@@ -84,6 +84,40 @@ def test_pgo_removes_drift():
     np.testing.assert_allclose(kf_t2[12], est_t[12], atol=1e-3)
 
 
+def test_loop_slot_eviction_policy():
+    """Loop-store eviction (PARITY.md §loop-store): empty slots fill first
+    (lowest index), then the oldest-stamped loop is evicted — except the slot
+    holding the PGO gauge anchor (smallest loop_j), which is never
+    overwritten once the store wraps."""
+    cfg = dataclasses.replace(TEST_CONFIG, max_loops=4)
+    ls = loop_mod.LoopState.init(cfg)
+    # empty store -> slot 0
+    assert int(loop_mod.choose_loop_slot(ls)) == 0
+    # partially filled (slots 0,1 used; 2,3 empty) -> first empty = 2
+    ls = ls.replace(
+        loop_i=ls.loop_i.at[:2].set(jnp.array([30, 40], jnp.int32)),
+        loop_j=ls.loop_j.at[:2].set(jnp.array([5, 12], jnp.int32)),
+        loop_stamp=ls.loop_stamp.at[:2].set(jnp.array([1, 2], jnp.int32)),
+        loop_count=jnp.asarray(2, jnp.int32),
+    )
+    assert int(loop_mod.choose_loop_slot(ls)) == 2
+    # full store: oldest stamp is slot 0, but slot 0 holds the anchor
+    # (min loop_j=5) -> evict the next-oldest non-anchor slot, slot 1
+    ls = ls.replace(
+        loop_i=jnp.array([30, 40, 50, 60], jnp.int32),
+        loop_j=jnp.array([5, 12, 20, 33], jnp.int32),
+        loop_stamp=jnp.array([1, 2, 3, 4], jnp.int32),
+        loop_count=jnp.asarray(4, jnp.int32),
+    )
+    assert int(loop_mod.choose_loop_slot(ls)) == 1
+    # anchor elsewhere: slot 2 holds min loop_j; oldest non-anchor is slot 0
+    ls = ls.replace(loop_j=jnp.array([15, 12, 3, 33], jnp.int32))
+    assert int(loop_mod.choose_loop_slot(ls)) == 0
+    # compaction freed a slot (loop dropped -> -1): reuse it before evicting
+    ls = ls.replace(loop_i=ls.loop_i.at[3].set(-1))
+    assert int(loop_mod.choose_loop_slot(ls)) == 3
+
+
 CIRCLE_CFG = dataclasses.replace(
     TEST_CONFIG, max_keyframes=160, loop_submap_halfwidth=25,
     max_loop_submap_points=8192, loop_icp_iterations=60,

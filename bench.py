@@ -374,11 +374,12 @@ def main():
                 _sync(states_l)
             return states_l, loop_states, counter
 
-        for k in range(N_WARMUP):
-            flat = [x for _ in range(lchunk) for x in inputs[k]]
-            states_l, loop_states, counter, _ = cstep_l(
-                states_l, loop_states, counter, *flat
-            )
+        # compile + warm up outside the timed reps (one full window, like the
+        # chunked headline — repeating a single scan inside a chunk would
+        # feed zero inter-scan dt into the step)
+        states_l, loop_states, counter = run_loop_window(
+            states_l, loop_states, counter
+        )
         jax.block_until_ready((states_l, loop_states))
         rates = []
         for _ in range(n_reps):

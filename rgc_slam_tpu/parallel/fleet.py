@@ -198,20 +198,47 @@ def make_fleet_chunk_step(cfg: SlamConfig, chunk: int):
     loop closure folded in (see ``fleet_loop_fused_step``).  The returned
     callable takes ``(states, loop_states, counter, *flat)`` where flat
     interleaves chunk (clouds, imus, stamps) triples, and returns
-    ``(states, loop_states, counter, [outs] * chunk)``.  Loop dispatches fire
-    at exactly the same scan indices as the host-cadenced per-dispatch path
-    (``counter % cfg.loop_cadence == 0``), so when ``cfg.loop_cadence %
-    chunk == 0`` the two paths compute bit-identical trajectories
-    (test_fleet.test_fused_chunk_matches_per_dispatch)."""
+    ``(states, loop_states, counter, [outs] * chunk)``.
+
+    Compile-cost shape: each ``lax.cond`` embeds the full vmapped
+    loop-closure + PGO program, so the number of conds is kept minimal.
+    When ``chunk <= cfg.loop_cadence`` at most ONE cadence boundary can
+    fall inside a chunk, so a single cond at chunk end is enough — the loop
+    fires within the same chunk the boundary lands in (up to chunk-1 scans
+    later than the per-dispatch path, matching the reference's
+    asynchronous 1 Hz pose-graph thread, RGC_mapping.cpp:1964; and when
+    ``cfg.loop_cadence % chunk == 0`` the boundary is always the chunk end,
+    making the two paths bit-identical —
+    test_fleet.test_fused_chunk_matches_per_dispatch).  Larger chunks fall
+    back to a cond per scan, which keeps exact cadence at chunk-times the
+    compile cost."""
 
     def chunk_step(states, loop_states, counter, *flat):
+        if chunk > cfg.loop_cadence:
+            outs = []
+            for i in range(chunk):
+                states, loop_states, counter, out = fleet_loop_fused_step(
+                    states, loop_states, counter, *flat[3 * i:3 * i + 3], cfg
+                )
+                outs.append(out)
+            return states, loop_states, counter, outs
+
         outs = []
         for i in range(chunk):
-            states, loop_states, counter, out = fleet_loop_fused_step(
-                states, loop_states, counter, *flat[3 * i:3 * i + 3], cfg
-            )
+            states, out = fleet_step(states, *flat[3 * i:3 * i + 3], cfg)
             outs.append(out)
-        return states, loop_states, counter, outs
+        new_counter = counter + chunk
+        run = (new_counter // cfg.loop_cadence) > (counter // cfg.loop_cadence)
+
+        def do(args):
+            s, ls = args
+            s2, ls2, _info = fleet_loop_step(s, ls, cfg)
+            return s2, ls2
+
+        states, loop_states = jax.lax.cond(
+            run, do, lambda a: a, (states, loop_states)
+        )
+        return states, loop_states, new_counter, outs
 
     return jax.jit(chunk_step)
 

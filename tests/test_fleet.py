@@ -341,6 +341,22 @@ def test_fused_chunk_matches_per_dispatch():
         np.asarray(states_r.mapping.kf_count),
     )
 
+    # chunk > cadence takes the cond-per-scan fallback path: exact cadence,
+    # same trajectory again
+    states_c4 = fleet.fleet_init(cfg, B)
+    ls_c4 = fleet.fleet_loop_init(cfg, B)
+    counter4 = jnp.asarray(0, jnp.int32)
+    cstep4 = fleet.make_fleet_chunk_step(cfg, 4)
+    flat = [x for j in range(4) for x in steps[j]]
+    states_c4, ls_c4, counter4, outs4 = cstep4(states_c4, ls_c4, counter4, *flat)
+    np.testing.assert_allclose(
+        np.stack([np.asarray(o.t_map) for o in outs4]), np.stack(outs_r),
+        atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ls_c4.loop_count), np.asarray(ls_r.loop_count)
+    )
+
 
 def test_chunk_exceeding_margin_rejected():
     import pytest

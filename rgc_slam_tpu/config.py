@@ -183,6 +183,15 @@ class SlamConfig:
     # mapping kNN association + 12-dim GN both shard this way (VERDICT r2
     # item 4).  Must divide the point capacities; 1 = mask-only sharding.
     sp_shards: int = 1
+    # Shard the feature front-end's per-point work over the sp axis too
+    # (ops/features.extract_features_sp): each device computes
+    # max_points/sp_shards rows of the windowed stack + covariances on a
+    # ±halo strip and the results all-gather.  OFF by default — at product
+    # caps the feature stage sits under the dispatch floor and replication
+    # is free; justified for dense single-stream deployments (PARITY §sp
+    # round-5 probe: the 131k-point feature stage runs 8.9x above the
+    # dispatch floor).
+    sp_features: bool = False
     # per-point covariance regularization — the full fast_gicp
     # RegularizationMethod set (gicp_settings.hpp,
     # impl/fast_gicp_impl.hpp:365-398): "plane" (the reference default:
@@ -212,7 +221,10 @@ class SlamConfig:
         # is not divisible; reject at construction (fleet.fleet_shard_step
         # falls back to stride masking instead of raising)
         if self.sp_shards > 1:
-            for name in ("max_source_points", "max_kf_corner", "max_kf_surf"):
+            names = ["max_source_points", "max_kf_corner", "max_kf_surf"]
+            if self.sp_features:
+                names.append("max_points")
+            for name in names:
                 cap = getattr(self, name)
                 if cap % self.sp_shards:
                     raise ValueError(

@@ -64,7 +64,13 @@ def slam_step(
     cfg: SlamConfig,
 ):
     """features -> odometry -> mapping, one scan."""
-    fx = F.extract_features(cloud, cfg)
+    if cfg.sp_features and cfg.psum_axis is not None and cfg.sp_shards > 1:
+        # block-sharded feature front-end for sp meshes (PARITY §sp round-5
+        # probe — dense single-stream deployments); static gate, so the
+        # default fleet path compiles exactly as before
+        fx = F.extract_features_sp(cloud, cfg)
+    else:
+        fx = F.extract_features(cloud, cfg)
     odo_state, odo_out = odometry_mod.odometry_step(state.odo, fx, imu, stamp, cfg)
 
     # current-frame feature clouds for mapping (downsampleCurrentLaserCloud,

@@ -147,6 +147,8 @@ def rbf_covariances(
     max_dist: float = 3.0,
     method: str = "plane",
     row_chunk: int = 2048,
+    row_start=0,
+    row_count: "int | None" = None,
 ) -> jax.Array:
     """G8: RBF-kernel covariance estimation (covariance_estimation_rbf.cu:
     1-153; selected by FastVGICPCuda's GPU_RBF_KERNEL neighbor search,
@@ -163,8 +165,13 @@ def rbf_covariances(
     mathematically identical (covariance is translation-invariant), but the
     reference's one-pass E[xx]−mmᵀ at |x|≈40 m cancels ~1e-4 absolute in
     f32; centering removes that (the repo-wide two-pass rule, CLAUDE.md).
+
+    row_start/row_count restrict the QUERY rows to one block (sp feature
+    sharding); the kernel keys stay the full cloud, so the block result
+    equals the same rows of the full result.
     """
     n = xyz.shape[0]
+    per = n if row_count is None else row_count
     dtype = xyz.dtype
     m = mask.astype(dtype)
     centroid = jnp.sum(xyz * m[:, None], axis=0) / jnp.maximum(jnp.sum(m), 1.0)
@@ -175,9 +182,14 @@ def rbf_covariances(
     max_d2 = jnp.asarray(max_dist * max_dist, dtype)
     kw = jnp.asarray(kernel_width, dtype)
 
-    pad = (-n) % row_chunk
-    xq = jnp.pad(x, ((0, pad), (0, 0))).reshape(-1, row_chunk, 3)
-    sqq = jnp.pad(sq, (0, pad)).reshape(-1, row_chunk)
+    def rows(a):
+        if per == n:
+            return a
+        return jax.lax.dynamic_slice_in_dim(a, row_start, per, axis=0)
+
+    pad = (-per) % row_chunk
+    xq = jnp.pad(rows(x), ((0, pad), (0, 0))).reshape(-1, row_chunk, 3)
+    sqq = jnp.pad(rows(sq), (0, pad)).reshape(-1, row_chunk)
 
     def chunk_moments(args):
         xc, sc = args
@@ -187,12 +199,12 @@ def rbf_covariances(
         ).astype(dtype)
         return w @ feats                                  # [chunk, 13]
 
-    moments = jax.lax.map(chunk_moments, (xq, sqq)).reshape(-1, 13)[:n]
+    moments = jax.lax.map(chunk_moments, (xq, sqq)).reshape(-1, 13)[:per]
     sw = jnp.maximum(moments[:, 0], 1e-12)
     mean = moments[:, 1:4] / sw[:, None]
-    E = moments[:, 4:].reshape(n, 3, 3) / sw[:, None, None]
+    E = moments[:, 4:].reshape(per, 3, 3) / sw[:, None, None]
     cov = E - jnp.einsum("ni,nj->nij", mean, mean)
-    cov = jnp.where(mask[:, None, None], cov, jnp.eye(3, dtype=dtype))
+    cov = jnp.where(rows(mask)[:, None, None], cov, jnp.eye(3, dtype=dtype))
     return regularize_covariances(cov + 1e-6 * jnp.eye(3, dtype=dtype), method)
 
 
@@ -203,18 +215,37 @@ def scan_covariances(
     pos_in_ring: jax.Array,
     count_of_ring: jax.Array,
     cfg: SlamConfig,
+    row_start=0,
+    row_count: "int | None" = None,
 ) -> jax.Array:
-    """Per-point plane-regularized covariances on the organized cloud [N,3,3]."""
+    """Per-point plane-regularized covariances on the organized cloud.
+
+    Returns [row_count, 3, 3] for the query rows [row_start,
+    row_start+row_count) — the full cloud by default.  The gather operands
+    stay the FULL arrays, so a block slice (sp feature sharding) only
+    restricts the query rows and the block result equals the same rows of
+    the full result."""
     n = xyz.shape[0]
-    idx = jnp.arange(n)
+    per = n if row_count is None else row_count
+
+    def rows(a):
+        if per == n:
+            return a
+        return jax.lax.dynamic_slice_in_dim(a, row_start, per, axis=0)
+
+    idx = rows(jnp.arange(n))
+    mask_r = rows(mask)
+    ring_r = rows(ring)
+    pos_r = rows(pos_in_ring)
+    count_r = rows(count_of_ring)
 
     # neighbor index set: in-ring ±4, plus ±2 around the azimuth-matched
     # position on ring-1 and ring+1
     frac = jnp.where(
-        count_of_ring > 0, pos_in_ring.astype(xyz.dtype) / jnp.maximum(count_of_ring, 1), 0.0
+        count_r > 0, pos_r.astype(xyz.dtype) / jnp.maximum(count_r, 1), 0.0
     )
-    ring_starts = jnp.zeros((cfg.n_scans + 2,), jnp.int32)
-    # ring_start/count must be recomputed here to avoid extra plumbing
+    # ring start/count must be recomputed here to avoid extra plumbing
+    # (global tables — row-independent)
     counts = jax.ops.segment_sum(
         mask.astype(jnp.int32), jnp.where(mask, ring, cfg.n_scans),
         num_segments=cfg.n_scans + 1,
@@ -226,15 +257,15 @@ def scan_covariances(
     for o in range(-4, 5):
         j = idx + o
         ok = (
-            mask
-            & (pos_in_ring + o >= 0)
-            & (pos_in_ring + o < count_of_ring)
+            mask_r
+            & (pos_r + o >= 0)
+            & (pos_r + o < count_r)
         )
         gather_idx.append(jnp.clip(j, 0, n - 1))
         gather_ok.append(ok)
     for dr in (-1, 1):
-        r2 = ring + dr
-        ok_ring = (r2 >= 0) & (r2 < cfg.n_scans) & mask
+        r2 = ring_r + dr
+        ok_ring = (r2 >= 0) & (r2 < cfg.n_scans) & mask_r
         r2c = jnp.clip(r2, 0, cfg.n_scans - 1)
         base = starts[r2c] + (frac * counts[r2c].astype(xyz.dtype)).astype(jnp.int32)
         for o in range(-2, 3):

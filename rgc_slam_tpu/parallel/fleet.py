@@ -258,11 +258,14 @@ def make_distributed_step(mesh: Mesh, cfg: SlamConfig):
     """
     n_sp = int(mesh.shape["sp"])
     # block-slice sharding needs the point capacities divisible by sp;
-    # otherwise fall back to stride-masked sharding (correct, less speedup)
-    divisible = all(
-        c % n_sp == 0
-        for c in (cfg.max_source_points, cfg.max_kf_corner, cfg.max_kf_surf)
-    )
+    # otherwise fall back to stride-masked sharding (correct, less speedup).
+    # sp_features adds max_points to the divisibility set (SlamConfig
+    # validates it), so include it here or the replace() below would raise
+    # instead of falling back.
+    caps = [cfg.max_source_points, cfg.max_kf_corner, cfg.max_kf_surf]
+    if cfg.sp_features:
+        caps.append(cfg.max_points)
+    divisible = all(c % n_sp == 0 for c in caps)
     sp_cfg = dataclasses.replace(
         cfg, psum_axis="sp", sp_shards=n_sp if divisible else 1
     )

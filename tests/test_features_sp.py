@@ -122,6 +122,53 @@ def test_sp_features_requires_divisible_caps():
 
 
 @pytest.mark.slow
+def test_fleet_distributed_step_with_sp_features():
+    """sp_features must compose with the dp×sp fleet path: vmapped robots
+    inside shard_map, axis_index/psum over the sp mesh axis under vmap.
+    Tracks the replicated vmap fleet at the cross-compile tolerance the
+    existing dp×sp test uses."""
+    from rgc_slam_tpu.parallel import fleet
+
+    assert len(jax.devices()) >= 8
+    cfg = dataclasses.replace(TEST_CONFIG, sp_features=True)
+    mesh = fleet.make_mesh(4, 2)
+    dstep = fleet.make_distributed_step(mesh, cfg)
+
+    from rgc_slam_tpu.io.convert import imu_from_interval
+
+    seq = synthetic.generate_sequence(
+        n_scans=3, n_azimuth=120, seed=7, extent=15.0, radius=6.0,
+        noise=0.004, closes_loop=False, speed=1.5,
+    )
+    states_sh = fleet.fleet_init(cfg, 8)
+    states_ref = fleet.fleet_init(TEST_CONFIG, 8)
+    for k in range(len(seq["scans"])):
+        cloud = cloud_from_scan_dict(seq["scans"][k], cfg)
+        t_imu, acc, gyr = seq["imu"][k]
+        imu = imu_from_interval(t_imu, acc, gyr, cfg.max_imu)
+        stamp = jnp.asarray(seq["stamps"][k], jnp.float32)
+        batch = lambda a: jax.tree.map(lambda x: jnp.stack([x] * 8), a)
+        bc, bi, bs = batch(cloud), batch(imu), jnp.stack([stamp] * 8)
+        states_sh, outs_sh, _ = dstep(states_sh, bc, bi, bs)
+        states_ref, outs_ref = fleet.fleet_step(states_ref, bc, bi, bs, TEST_CONFIG)
+    np.testing.assert_allclose(
+        np.asarray(outs_sh.t_map), np.asarray(outs_ref.t_map), atol=5e-3
+    )
+
+
+def test_fleet_sp_features_indivisible_falls_back():
+    """make_distributed_step must fall back to stride-masked sharding (not
+    raise) when sp_features is on but max_points is not divisible by the sp
+    axis — the SlamConfig divisibility validation only applies to the
+    block-sliced mode."""
+    from rgc_slam_tpu.parallel import fleet
+
+    cfg = dataclasses.replace(TEST_CONFIG, sp_features=True, max_points=4095)
+    mesh = fleet.make_mesh(4, 2)
+    fleet.make_distributed_step(mesh, cfg)  # must not raise
+
+
+@pytest.mark.slow
 def test_slam_step_with_sp_features(rng):
     """End-to-end wiring: slam_step with sp_features on an sp mesh must
     compile, run, and track the replicated slam_step."""

@@ -156,6 +156,40 @@ def test_fleet_distributed_step_with_sp_features():
     )
 
 
+def test_features_sp_degenerate_scans(rng):
+    """The sp path must stay finite on glitch inputs, like the replicated
+    front-end (tests/test_robustness.py): an all-masked scan (total dropout)
+    and NaN xyz in MASKED slots (uninitialized driver memory) must produce
+    finite feature outputs with empty/unchanged masks on every device."""
+    cfg = dataclasses.replace(
+        TEST_CONFIG, psum_axis="sp", sp_shards=2, sp_features=True
+    )
+    cloud = _cloud(rng, cfg)
+
+    # all-masked
+    empty = cloud.replace(mask=jnp.zeros_like(cloud.mask))
+    fx = _sp_extract(cfg, empty)
+    assert not bool(jnp.any(fx.sharp.mask))
+    assert not bool(jnp.any(fx.flat.mask))
+    assert not bool(fx.ground.valid)
+    assert np.isfinite(np.asarray(fx.normals_cov)).all()
+
+    # NaN garbage confined to masked slots
+    garbage = cloud.replace(
+        xyz=jnp.where(cloud.mask[:, None], cloud.xyz, jnp.nan)
+    )
+    ref = jax.jit(functools.partial(F.extract_features, cfg=TEST_CONFIG))(
+        cloud.replace(xyz=jnp.where(cloud.mask[:, None], cloud.xyz, jnp.nan))
+    )
+    got = _sp_extract(cfg, garbage)
+    np.testing.assert_array_equal(
+        np.asarray(ref.sharp.mask), np.asarray(got.sharp.mask)
+    )
+    assert np.isfinite(
+        np.asarray(got.sharp.xyz)[np.asarray(got.sharp.mask)]
+    ).all()
+
+
 def test_fleet_sp_features_indivisible_falls_back():
     """make_distributed_step must fall back to stride-masked sharding (not
     raise) when sp_features is on but max_points is not divisible by the sp

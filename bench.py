@@ -148,7 +148,12 @@ FORCE_SERIALIZED = os.environ.get("RGC_BENCH_SERIALIZED", "") == "1"
 # (measured 5.3x on the tunneled v5e: 128k -> 677k scans/sec/chip).  A real
 # deployment lever when scans are buffered (not strictly real-time); the
 # per-dispatch number is reported alongside as the real-time-loop rate.
-CHUNK = int(os.environ.get("RGC_BENCH_CHUNK", 4))
+# Default 8 (round-5 same-window A/B: 646k @ C=4 -> 1.49M @ C=8, MFU 39.7%
+# -> 91.7% — the engine is still dispatch-bound at C=4).  Must stay <=
+# cfg.loop_cadence (10) so the fused with-loops chunk keeps ONE lax.cond
+# per chunk; compile cost scales with the unroll (~7 min per chunked
+# program at C=8 on this host).
+CHUNK = int(os.environ.get("RGC_BENCH_CHUNK", 8))
 
 # bf16 matmul peak by device_kind (public spec sheets); used only for the
 # MFU estimate — absent kinds report mfu as null rather than guessing

@@ -7,6 +7,26 @@ residuals).  SLAM is estimation, not training — everything here must run the
 MXU in full f32 (measured: 10x trajectory-ATE degradation without this).  The
 hot-path matmuls that dominate FLOPs (ops/knn.py) set it explicitly as well.
 """
+import os as _os
+import tempfile as _tempfile
+
 import jax as _jax
 
 _jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent XLA compilation cache: the big programs here (unrolled
+# dispatch-chunk fleet steps, shard_map meshes) compile in minutes; the
+# cache makes every later PROCESS a hit (measured over the axon tunnel:
+# 12.5 s cold -> 1.2 s warm), which cuts bench/driver/CLI restarts from
+# ~20 min of compiles to seconds.  Keyed by HLO + compile options +
+# platform, so it is correctness-neutral.  Opt out with RGC_JAX_CACHE=0;
+# relocate with RGC_JAX_CACHE_DIR.
+if _os.environ.get("RGC_JAX_CACHE", "1") != "0":
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get(
+            "RGC_JAX_CACHE_DIR",
+            _os.path.join(_tempfile.gettempdir(), "rgc_jax_cache"),
+        ),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -22,11 +22,15 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 # platform, so it is correctness-neutral.  Opt out with RGC_JAX_CACHE=0;
 # relocate with RGC_JAX_CACHE_DIR.
 if _os.environ.get("RGC_JAX_CACHE", "1") != "0":
+    # per-user path: a fixed shared /tmp name would let another local user
+    # own the directory (cache silently dead) or pre-plant entries that JAX
+    # deserializes and runs (local cache-poisoning vector)
+    _uid = _os.getuid() if hasattr(_os, "getuid") else "na"
     _jax.config.update(
         "jax_compilation_cache_dir",
         _os.environ.get(
             "RGC_JAX_CACHE_DIR",
-            _os.path.join(_tempfile.gettempdir(), "rgc_jax_cache"),
+            _os.path.join(_tempfile.gettempdir(), f"rgc_jax_cache-{_uid}"),
         ),
     )
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -330,6 +330,20 @@ def _point_covariances(
 # ---------------------------------------------------------------------------
 
 
+def _organize_preamble(cloud: PointCloud, cfg: SlamConfig):
+    """A1 range gate + rear-cone cut, then A2 ring-major organization —
+    shared by the replicated and sp-sharded front-ends so the two can never
+    diverge on the preamble."""
+    from ..utils.cloud import range_filter_mask
+
+    mask0 = range_filter_mask(cloud.xyz, cloud.mask, cfg.minimum_range, cfg.maximum_range)
+    org, ring_start, ring_count = organize(cloud.replace(mask=mask0), cfg)
+    idx = jnp.arange(cloud.capacity)
+    pos_in_ring = idx - ring_start[jnp.clip(org.ring, 0, cfg.n_scans - 1)]
+    count_of_ring = ring_count[jnp.clip(org.ring, 0, cfg.n_scans - 1)]
+    return org, ring_start, ring_count, pos_in_ring, count_of_ring
+
+
 def extract_features(cloud: PointCloud, cfg: SlamConfig, debug: bool = False):
     """Feature front-end.  With debug=True (static) additionally returns the
     intermediate arrays the golden-oracle test compares against
@@ -337,17 +351,9 @@ def extract_features(cloud: PointCloud, cfg: SlamConfig, debug: bool = False):
     dtype = cloud.xyz.dtype
     n = cloud.capacity
 
-    # ---- A1: range gate + rear-cone cut ----
-    from ..utils.cloud import range_filter_mask
-
-    mask0 = range_filter_mask(cloud.xyz, cloud.mask, cfg.minimum_range, cfg.maximum_range)
-    cloud = cloud.replace(mask=mask0)
-
-    # ---- A2: ring-major organization ----
-    org, ring_start, ring_count = organize(cloud, cfg)
-    idx = jnp.arange(n)
-    pos_in_ring = idx - ring_start[jnp.clip(org.ring, 0, cfg.n_scans - 1)]
-    count_of_ring = ring_count[jnp.clip(org.ring, 0, cfg.n_scans - 1)]
+    org, ring_start, ring_count, pos_in_ring, count_of_ring = _organize_preamble(
+        cloud, cfg
+    )
 
     # ---- A3/A4: the per-point windowed stack, full-span block ----
     pw = _pointwise_block(
@@ -407,24 +413,34 @@ def extract_features_sp(cloud: PointCloud, cfg: SlamConfig) -> FeatureExtraction
     the equality test); the GroundPlane additionally psum-reassociates its
     moment sums.
     Requires the sp axis size == cfg.sp_shards and cfg.sp_shards to divide
-    cfg.max_points (validated in SlamConfig).  Reference analog: the OpenMP
+    the cloud capacity (validated in SlamConfig for max_points and
+    re-checked at trace time here — a mismatch would silently corrupt the
+    gather).  Reference analog: the OpenMP
     parallel point loops over this same stage (scanRegistration.cpp:233-306).
     """
     axis = cfg.psum_axis
-    assert axis is not None and cfg.sp_shards > 1, "extract_features_sp needs an sp mesh"
+    if axis is None or cfg.sp_shards <= 1:
+        raise ValueError("extract_features_sp needs an sp mesh (psum_axis + sp_shards)")
     dtype = cloud.xyz.dtype
     n = cloud.capacity
+    # trace-time validation — a mismatch would SILENTLY corrupt the gather
+    # (the edge devices' dynamic slices clamp onto the same block, so the
+    # psum double-counts rows and zeroes others; both checks are static)
+    if n % cfg.sp_shards:
+        raise ValueError(
+            f"cloud capacity {n} not divisible by sp_shards={cfg.sp_shards}"
+        )
+    axis_sz = jax.lax.axis_size(axis)
+    if axis_sz != cfg.sp_shards:
+        raise ValueError(
+            f"sp mesh axis {axis!r} has size {axis_sz}, cfg.sp_shards={cfg.sp_shards}"
+        )
     per = n // cfg.sp_shards
     start = jax.lax.axis_index(axis) * per
 
-    from ..utils.cloud import range_filter_mask
-
-    mask0 = range_filter_mask(cloud.xyz, cloud.mask, cfg.minimum_range, cfg.maximum_range)
-    cloud = cloud.replace(mask=mask0)
-    org, ring_start, ring_count = organize(cloud, cfg)
-    idx = jnp.arange(n)
-    pos_in_ring = idx - ring_start[jnp.clip(org.ring, 0, cfg.n_scans - 1)]
-    count_of_ring = ring_count[jnp.clip(org.ring, 0, cfg.n_scans - 1)]
+    org, ring_start, ring_count, pos_in_ring, count_of_ring = _organize_preamble(
+        cloud, cfg
+    )
 
     pw = _pointwise_block(
         org.xyz, org.intensity, org.ring, org.mask, pos_in_ring, count_of_ring,
@@ -455,7 +471,15 @@ def extract_features_sp(cloud: PointCloud, cfg: SlamConfig) -> FeatureExtraction
         out = jax.lax.psum(buf, axis)
         return out.astype(jnp.bool_) if is_bool else out
 
-    pw = {k: gather(v) for k, v in pw.items()}
+    # gather only what the picker/output consume — intensity (debug-only)
+    # and ground_w/ground_mult (already reduced into `ground`) would be
+    # 3 extra [n]-sized all-reduces per scan on the latency-sensitive path
+    needed = (
+        "interior", "curvature", "curvature2", "inten_curv",
+        "distance_source", "other_source", "blocked",
+        "ext_l", "ext_r", "iext_l", "iext_r", "ground_mask",
+    )
+    pw = {k: gather(pw[k]) for k in needed}
     covs = gather(covs)
 
     sharp, flat, intenf, _ = _pick_and_pack(

@@ -248,6 +248,28 @@ def make_mesh(n_dp: int, n_sp: int) -> Mesh:
     return Mesh(devs, axis_names=("dp", "sp"))
 
 
+def _sp_plan(cfg: SlamConfig, n_sp: int) -> SlamConfig:
+    """Resolve the sp-axis sharding plan for an n_sp-wide mesh.
+
+    Block-slice sharding needs the point capacities divisible by sp;
+    otherwise fall back to stride-masked sharding (correct, less speedup).
+    The two fallbacks are independent: an indivisible max_points disables
+    only the sp FEATURE front-end (sp_features=False), never the
+    registration/mapping block sharding that its own caps allow — and
+    SlamConfig validates max_points only when sp_features stays on."""
+    divisible = all(
+        c % n_sp == 0
+        for c in (cfg.max_source_points, cfg.max_kf_corner, cfg.max_kf_surf)
+    )
+    sp_features = cfg.sp_features and divisible and cfg.max_points % n_sp == 0
+    return dataclasses.replace(
+        cfg,
+        psum_axis="sp",
+        sp_shards=n_sp if divisible else 1,
+        sp_features=sp_features,
+    )
+
+
 def make_distributed_step(mesh: Mesh, cfg: SlamConfig):
     """shard_map'd fleet step over a ('dp','sp') mesh.
 
@@ -257,18 +279,7 @@ def make_distributed_step(mesh: Mesh, cfg: SlamConfig):
     (states, clouds, imus, stamps) -> (states, outputs, fleet_mean_fitness).
     """
     n_sp = int(mesh.shape["sp"])
-    # block-slice sharding needs the point capacities divisible by sp;
-    # otherwise fall back to stride-masked sharding (correct, less speedup).
-    # sp_features adds max_points to the divisibility set (SlamConfig
-    # validates it), so include it here or the replace() below would raise
-    # instead of falling back.
-    caps = [cfg.max_source_points, cfg.max_kf_corner, cfg.max_kf_surf]
-    if cfg.sp_features:
-        caps.append(cfg.max_points)
-    divisible = all(c % n_sp == 0 for c in caps)
-    sp_cfg = dataclasses.replace(
-        cfg, psum_axis="sp", sp_shards=n_sp if divisible else 1
-    )
+    sp_cfg = _sp_plan(cfg, n_sp)
 
     def local_step(states, clouds, imus, stamps):
         new_states, outs = jax.vmap(functools.partial(slam_step, cfg=sp_cfg))(

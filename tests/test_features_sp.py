@@ -121,6 +121,25 @@ def test_sp_features_requires_divisible_caps():
         )
 
 
+def test_features_sp_rejects_axis_size_mismatch(rng):
+    """A mesh axis wider than cfg.sp_shards must raise at trace time — the
+    edge devices' clamped slices would otherwise silently double-count
+    blocks in the psum gather."""
+    cfg = dataclasses.replace(
+        TEST_CONFIG, psum_axis="sp", sp_shards=2, sp_features=True
+    )
+    cloud = _cloud(rng, cfg)
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("sp",))
+    fn = jax.jit(
+        jax.shard_map(
+            functools.partial(F.extract_features_sp, cfg=cfg),
+            mesh=mesh, in_specs=P(), out_specs=P(),
+        )
+    )
+    with pytest.raises(ValueError, match="sp_shards"):
+        fn(cloud)
+
+
 @pytest.mark.slow
 def test_fleet_distributed_step_with_sp_features():
     """sp_features must compose with the dp×sp fleet path: vmapped robots
@@ -191,15 +210,31 @@ def test_features_sp_degenerate_scans(rng):
 
 
 def test_fleet_sp_features_indivisible_falls_back():
-    """make_distributed_step must fall back to stride-masked sharding (not
-    raise) when sp_features is on but max_points is not divisible by the sp
-    axis — the SlamConfig divisibility validation only applies to the
-    block-sliced mode."""
+    """The sp plan's fallbacks must be independent: an indivisible
+    max_points disables ONLY the sp feature front-end, keeping the
+    registration/mapping block sharding its own caps allow; indivisible
+    registration caps drop to stride masking without raising."""
     from rgc_slam_tpu.parallel import fleet
 
+    # max_points indivisible -> sp_features off, registration sharding kept
     cfg = dataclasses.replace(TEST_CONFIG, sp_features=True, max_points=4095)
+    plan = fleet._sp_plan(cfg, 2)
+    assert plan.sp_shards == 2 and not plan.sp_features
+
+    # everything divisible -> both on
+    plan = fleet._sp_plan(dataclasses.replace(TEST_CONFIG, sp_features=True), 2)
+    assert plan.sp_shards == 2 and plan.sp_features
+
+    # registration caps indivisible -> stride masking, features off too
+    cfg = dataclasses.replace(TEST_CONFIG, sp_features=True, max_kf_corner=127)
+    plan = fleet._sp_plan(cfg, 2)
+    assert plan.sp_shards == 1 and not plan.sp_features
+
+    # construction must not raise in any of these modes
     mesh = fleet.make_mesh(4, 2)
-    fleet.make_distributed_step(mesh, cfg)  # must not raise
+    fleet.make_distributed_step(
+        mesh, dataclasses.replace(TEST_CONFIG, sp_features=True, max_points=4095)
+    )
 
 
 @pytest.mark.slow

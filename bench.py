@@ -398,6 +398,11 @@ def main():
         _note(f"with-loops (fused, {lchunk}-scan chunks) done: "
               f"{with_loops:.0f} scans/sec")
 
+    # re-sample AFTER the timed windows: load starting mid-run (the
+    # documented ~3x throughput killer) must show up in the artifact, and
+    # the snapshot taken at the probe mostly reflects staging/compile load
+    loadavg_end = os.getloadavg()
+
     _note("single-stream")
     single_ms = None if skip_single else _single_stream(seq0, n_scans, serialized)
 
@@ -439,6 +444,9 @@ def main():
                 "dispatch_probe_ms_per_step": round(queued_ms, 3),
                 "serialized_threshold_ms": 50.0,
                 "host_loadavg_1_5_15": [round(x, 2) for x in loadavg],
+                "host_loadavg_end_1_5_15": [
+                    round(x, 2) for x in loadavg_end
+                ],
                 "fleet_step_gflops": round(flops_step / 1e9, 3) if flops_step else None,
                 "achieved_tflops_per_sec": round(achieved / 1e12, 3) if achieved else None,
                 "mfu_pct_vs_bf16_peak": round(mfu, 3) if mfu else None,

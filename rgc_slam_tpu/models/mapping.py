@@ -44,6 +44,28 @@ RAD2DEG = 57.29577951308232
 COMPACT_MARGIN = 16
 
 
+def worst_cadence_gap(loop_cadence: int, chunk: int) -> int:
+    """Max scans between loop-closure/compaction opportunities when the
+    cadence is only evaluated at chunk boundaries (SlamSystem.process_chunk,
+    parallel.fleet.make_fleet_chunk_step's single-cond program).
+
+    A cadence boundary ``b`` fires at the next chunk multiple, i.e.
+    ``(-b) % chunk`` scans late.  With ``chunk >= loop_cadence`` every chunk
+    contains a boundary, so firings come every ``chunk`` scans.  Otherwise,
+    with ``r = loop_cadence % chunk != 0``, the delay shrinks by ``r`` per
+    boundary until it wraps up by ``chunk - r``, so the worst gap is
+    ``loop_cadence + chunk - r`` (e.g. cadence 10, chunk 8: delays cycle
+    6,4,2,0 — max gap 16); a divisor chunk keeps the exact cadence.
+    Safe iff the result is <= COMPACT_MARGIN: compaction leaves
+    COMPACT_MARGIN free slots, one keyframe is added per scan, and the
+    scan that fires also adds its keyframe before the loop call runs."""
+    chunk = max(chunk, 1)
+    if chunk >= loop_cadence:
+        return chunk
+    r = loop_cadence % chunk
+    return loop_cadence + (chunk - r if r else 0)
+
+
 @struct.dataclass
 class MappingState:
     # map -> odom correction (RGC_mapping.cpp transformUpdate)

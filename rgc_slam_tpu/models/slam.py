@@ -171,6 +171,7 @@ class SlamSystem:
         self._step = jax.jit(functools.partial(slam_step, cfg=cfg))
         self.chunk = chunk
         self._chunk_step = None
+        self.enable_loop = cfg.loop_closure_enable if enable_loop is None else enable_loop
         if chunk > 1:
             from . import mapping as _mapping
 
@@ -184,10 +185,23 @@ class SlamSystem:
                     f"added past capacity inside one dispatch would be "
                     f"silently dropped"
                 )
+            gap = _mapping.worst_cadence_gap(cfg.loop_cadence, chunk)
+            if self.enable_loop and gap > _mapping.COMPACT_MARGIN:
+                # loop closure (and with it the loop-aware compaction) is
+                # host-called only at chunk boundaries; a non-divisor chunk
+                # fires a cadence boundary up to chunk-1 scans late, and
+                # past the headroom that risks the same silent drop
+                raise ValueError(
+                    f"chunk={chunk} with loop_cadence={cfg.loop_cadence}: "
+                    f"loop/compaction opportunities come only at chunk "
+                    f"boundaries — worst-case gap {gap} scans exceeds the "
+                    f"keyframe-eviction headroom "
+                    f"(COMPACT_MARGIN={_mapping.COMPACT_MARGIN}); pick a "
+                    f"chunk dividing loop_cadence or a smaller chunk"
+                )
             self._chunk_step = make_chunk_step(
                 functools.partial(slam_step, cfg=cfg), chunk
             )
-        self.enable_loop = cfg.loop_closure_enable if enable_loop is None else enable_loop
         self._loop_fn = None
         if self.enable_loop:
             from . import loop as loop_mod

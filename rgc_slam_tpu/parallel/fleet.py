@@ -142,19 +142,6 @@ def fleet_loop_step(states: SlamState, loop_states, cfg: SlamConfig):
     )
 
 
-def fleet_loop_compact(states: SlamState, loop_states, cfg: SlamConfig):
-    """vmapped loop-AWARE compaction only (no detection/PGO) — the eviction
-    backstop between loop-closure dispatches when the chunked cadence could
-    otherwise exceed the keyframe headroom (see run.py --fleet)."""
-    from ..models.loop import _maybe_compact
-
-    def one(s, ls):
-        return _maybe_compact(s, ls, cfg)
-
-    new_states, new_ls = jax.vmap(one)(states, loop_states)
-    return new_states, new_ls
-
-
 def fleet_loop_fused_step(states: SlamState, loop_states, counter: jax.Array,
                           clouds: PointCloud, imus: ImuBatch,
                           stamps: jax.Array, cfg: SlamConfig):
@@ -193,6 +180,27 @@ def fleet_loop_fused_step(states: SlamState, loop_states, counter: jax.Array,
     return states, loop_states, new_counter, outs
 
 
+def _needs_exact_cadence(cfg: SlamConfig, chunk: int) -> bool:
+    """Whether ``make_fleet_chunk_step`` must use its cond-per-scan program.
+
+    The single-cond-at-chunk-end program fires a cadence boundary at the
+    next multiple of ``chunk``, i.e. ``(-boundary) % chunk`` scans late.
+    With ``r = loop_cadence % chunk != 0`` that delay shrinks by ``r`` per
+    boundary until it wraps up by ``chunk - r``, so the worst-case gap
+    between loop-aware compaction opportunities is exactly
+    ``loop_cadence + chunk - r`` scans (e.g. cadence 10, chunk 8: delays
+    cycle 6,4,2,0 and the max gap is 16, not 17).  Past
+    ``mapping.COMPACT_MARGIN`` that gap risks the silent keyframe-write
+    backstop (mapping.py ``add_kf & (kf_count < K)``), mirroring run.py's
+    ``loop_cadence > COMPACT_MARGIN`` rejection (gap == margin is safe —
+    compaction keeps ``COMPACT_MARGIN`` slots free when it runs)."""
+    from ..models.mapping import COMPACT_MARGIN, worst_cadence_gap
+
+    return chunk > cfg.loop_cadence or (
+        worst_cadence_gap(cfg.loop_cadence, chunk) > COMPACT_MARGIN
+    )
+
+
 def make_fleet_chunk_step(cfg: SlamConfig, chunk: int):
     """Compile a fleet program advancing ``chunk`` scans per dispatch WITH
     loop closure folded in (see ``fleet_loop_fused_step``).  The returned
@@ -209,12 +217,22 @@ def make_fleet_chunk_step(cfg: SlamConfig, chunk: int):
     asynchronous 1 Hz pose-graph thread, RGC_mapping.cpp:1964; and when
     ``cfg.loop_cadence % chunk == 0`` the boundary is always the chunk end,
     making the two paths bit-identical —
-    test_fleet.test_fused_chunk_matches_per_dispatch).  Larger chunks fall
-    back to a cond per scan, which keeps exact cadence at chunk-times the
-    compile cost."""
+    test_fleet.test_fused_chunk_matches_per_dispatch).
+
+    Keyframe-eviction headroom: loop-aware compaction only gets a chance to
+    run when the cond fires, and a non-divisor chunk delays a firing past
+    its cadence boundary — worst-case gap between compaction opportunities
+    ``loop_cadence + chunk - loop_cadence % chunk`` scans (see
+    ``_needs_exact_cadence``).  If that exceeds ``mapping.COMPACT_MARGIN``
+    a robot keyframing every scan could fill its store and hit the silent
+    ``kf_count < K`` write backstop (mapping.py), so such chunks — like
+    ``chunk > loop_cadence`` — take the cond-per-scan fallback: exact
+    cadence (never exceeds the margin the cadence itself fits in) at
+    chunk-times the compile cost."""
+    exact_cadence = _needs_exact_cadence(cfg, chunk)
 
     def chunk_step(states, loop_states, counter, *flat):
-        if chunk > cfg.loop_cadence:
+        if exact_cadence:
             outs = []
             for i in range(chunk):
                 states, loop_states, counter, out = fleet_loop_fused_step(

@@ -204,9 +204,10 @@ def main(argv=None):
             # INSIDE the step program (fleet.fleet_loop_fused_step: top-level
             # lax.cond, counter on device) and chunked with it — one program,
             # full dispatch amortization, no host-gated eviction backstop.
-            # Compaction opportunities come every loop_cadence scans
-            # regardless of chunk size, so the headroom bound is on the
-            # cadence, not the chunk.
+            # A non-divisor chunk can delay a firing by up to chunk-1 scans;
+            # make_fleet_chunk_step falls back to its cond-per-scan program
+            # (exact cadence) whenever that would exceed the eviction
+            # headroom, so the only hard bound here is on the cadence itself.
             if cfg.loop_cadence > COMPACT_MARGIN:
                 raise SystemExit(
                     f"loop_cadence {cfg.loop_cadence} exceeds the "

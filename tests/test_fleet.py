@@ -358,6 +358,37 @@ def test_fused_chunk_matches_per_dispatch():
     )
 
 
+def test_fused_chunk_exact_cadence_selection():
+    """A non-divisor chunk fires the fused loop cond up to chunk-1 scans
+    past the cadence boundary; when the worst-case gap between firings
+    (loop_cadence + chunk - loop_cadence % chunk) exceeds the
+    keyframe-eviction headroom,
+    make_fleet_chunk_step must select its cond-per-scan program (the branch
+    behaviorally verified in test_fused_chunk_matches_per_dispatch's
+    chunk>cadence leg) instead of risking the silent kf-write backstop."""
+    from rgc_slam_tpu.models.mapping import COMPACT_MARGIN
+
+    assert COMPACT_MARGIN == 16  # thresholds below assume the shipped margin
+    cfg10 = dataclasses.replace(CFG, loop_cadence=10)
+    # divisor chunks: single cond at chunk end, bit-identical cadence
+    for c in (1, 2, 5, 10):
+        assert not fleet._needs_exact_cadence(cfg10, c)
+    # non-divisor within headroom: late firing is safe (10 + 4 - 2 = 12)
+    assert not fleet._needs_exact_cadence(cfg10, 4)
+    # bench.py's default combo (cadence 10, chunk 8): delays cycle 6,4,2,0
+    # so the max gap is exactly 16 == COMPACT_MARGIN — still the fast path
+    assert not fleet._needs_exact_cadence(cfg10, 8)
+    # non-divisor past headroom: 10 + 9 - 1 = 18 > 16 -> exact path
+    assert fleet._needs_exact_cadence(cfg10, 9)
+    # chunk > cadence always takes the exact path
+    assert fleet._needs_exact_cadence(cfg10, 11)
+    # cadence at the margin with a divisor chunk stays on the fast path
+    cfg16 = dataclasses.replace(CFG, loop_cadence=16)
+    assert not fleet._needs_exact_cadence(cfg16, 8)
+    # ... but any late firing past it must not (16 + 2 = 18 > 16)
+    assert fleet._needs_exact_cadence(cfg16, 3)
+
+
 def test_chunk_exceeding_margin_rejected():
     import pytest
     from rgc_slam_tpu.config import TEST_CONFIG
@@ -366,3 +397,13 @@ def test_chunk_exceeding_margin_rejected():
 
     with pytest.raises(ValueError, match="COMPACT_MARGIN"):
         SlamSystem(TEST_CONFIG, enable_loop=False, chunk=COMPACT_MARGIN + 1)
+    # with loops enabled, a non-divisor chunk whose worst-case firing gap
+    # exceeds the headroom must also be rejected (cadence 10, chunk 9:
+    # gap 18 > 16) — SlamSystem's loop fn only runs at chunk boundaries
+    cfg = dataclasses.replace(TEST_CONFIG, loop_cadence=10)
+    with pytest.raises(ValueError, match="worst-case gap"):
+        SlamSystem(cfg, enable_loop=True, chunk=9)
+    # ... while the bench-default combo (gap exactly == margin) constructs
+    SlamSystem(cfg, enable_loop=True, chunk=8)
+    # and loop-less sessions compact inline per scan — chunk 9 is fine
+    SlamSystem(cfg, enable_loop=False, chunk=9)
